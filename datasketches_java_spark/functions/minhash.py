@@ -1,0 +1,116 @@
+"""128-permutation MinHash + 64-bit SimHash — vectorized Arrow UDFs.
+
+Design (SURVEY.md §2.1 "MinHash relationship"): the reference's theta
+sketch is a single-hash bottom-k KMV; the LSH pipeline needs classic
+fixed-width MinHash (one minimum per permutation, Broder 1997).  Both
+are built here from the same shingle-hash arrays.
+
+Permutation family: sig_j(S) = min_{h in S} (a_j * h + b_j) mod 2^64
+with odd a_j — an affine bijection of Z_2^64, i.e. a genuine
+permutation of the hash space.  a_j, b_j derive deterministically from
+murmur3 of (MINHASH_SEED, j) so every executor and every run agrees
+(merge-safety discipline, SURVEY.md §4).
+
+The whole batch is one numpy broadcast: (total_shingles x perm_chunk)
+with np.minimum.reduceat per document — the batched analogue of the
+reference's per-item update loop (theta/HeapQuickSelectSketch.java:239).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from ..config import MINHASH_PERMS, MINHASH_SEED, SIMHASH_BITS
+from ..sketches.murmur3 import hash128_u64_pair
+
+_EMPTY_SIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PERM_CHUNK = 32
+
+
+def _permutation_params(n_perms: int = MINHASH_PERMS,
+                        seed: int = MINHASH_SEED) -> tuple[np.ndarray, np.ndarray]:
+    js = np.arange(n_perms, dtype=np.uint64)
+    a, _ = hash128_u64_pair(js, np.full(n_perms, seed, np.uint64), seed)
+    _, b = hash128_u64_pair(js, np.full(n_perms, seed + 1, np.uint64), seed + 7)
+    a = a | np.uint64(1)  # odd multiplier -> bijection
+    return a, b
+
+
+_A, _B = _permutation_params()
+
+
+def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged array<long> column -> (values u64, row starts, row lengths)."""
+    lengths = np.fromiter((0 if v is None else len(v) for v in series),
+                          dtype=np.int64, count=len(series))
+    if lengths.sum() == 0:
+        return np.empty(0, np.uint64), np.zeros(len(series), np.int64), lengths
+    values = np.concatenate(
+        [np.asarray(v, dtype=np.int64) for v in series if v is not None and len(v)]
+    ).view(np.uint64)
+    starts = np.zeros(len(series), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return values, starts, lengths
+
+
+def minhash_batch(series: pd.Series, n_perms: int = MINHASH_PERMS) -> np.ndarray:
+    """(n_docs x n_perms) int64 signature matrix for a batch of
+    shingle-hash arrays."""
+    values, starts, lengths = _flatten(series)
+    n = len(series)
+    out = np.full((n, n_perms), _EMPTY_SIG, dtype=np.uint64)
+    nonempty = lengths > 0
+    if values.size:
+        ne_starts = starts[nonempty]
+        with np.errstate(over="ignore"):
+            for j0 in range(0, n_perms, _PERM_CHUNK):
+                j1 = min(j0 + _PERM_CHUNK, n_perms)
+                t = values[:, None] * _A[j0:j1][None, :] + _B[j0:j1][None, :]
+                out[nonempty, j0:j1] = np.minimum.reduceat(t, ne_starts, axis=0)
+    return out.view(np.int64)
+
+
+def simhash_batch(series: pd.Series, bits: int = SIMHASH_BITS) -> np.ndarray:
+    """int64 SimHash per doc: majority vote per bit over shingle hashes."""
+    values, starts, lengths = _flatten(series)
+    n = len(series)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = lengths > 0
+    if values.size:
+        shifts = np.arange(bits, dtype=np.uint64)
+        bitmat = ((values[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        sums = np.add.reduceat(bitmat, starts[nonempty], axis=0)
+        majority = (2 * sums > lengths[nonempty, None]).astype(np.uint64)
+        out[nonempty] = (majority << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash128(shingle_hashes: pd.Series) -> pd.Series:
+    sig = minhash_batch(shingle_hashes)
+    return pd.Series(list(sig))
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(shingle_hashes: pd.Series) -> pd.Series:
+    return pd.Series(simhash_batch(shingle_hashes))
+
+
+@F.pandas_udf(T.DoubleType())
+def minhash_jaccard(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+    """Signature-space Jaccard estimate: fraction of agreeing
+    permutations (theta/JaccardSimilarity.java:55 counterpart over
+    fixed-width signatures)."""
+    a = np.stack([np.asarray(v, np.int64) for v in sig_a])
+    b = np.stack([np.asarray(v, np.int64) for v in sig_b])
+    return pd.Series((a == b).mean(axis=1))
+
+
+def hamming64(a, b):
+    """JVM-side Hamming distance between two int64 SimHash columns —
+    bit_count of xor, stays inside codegen."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's scale-aware defaults.
+
+Local mode is for correctness tests and the two-parallelism-level
+scaling bench; the same config block is what we'd ship in
+spark-submit --py-files on a real cluster (AQE, skew join, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "datasketches_java_spark",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              driver_memory: str = "48g") -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read a driver-provided table; Iceberg first (the production
+    format per BASELINE.json input_hint), parquet fallback in sandbox."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if not path.endswith(".parquet"):
+            return spark.read.format("iceberg").load(path)
+    except Exception:
+        pass
+    return spark.read.parquet(path)

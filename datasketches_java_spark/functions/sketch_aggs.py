@@ -1,0 +1,309 @@
+"""Two-phase sketch aggregation over DataFrames.
+
+The structural match to the reference's update/merge split (SURVEY.md
+§3.2): the map side builds one compact sketch image per (grouping key x
+Arrow batch) — the ``update`` path — and only those bounded-size binary
+images cross the shuffle; the reduce side unions images per key — the
+``merge`` path (theta/UnionImpl.java:300).  Raw rows never shuffle.
+
+At 100 TB this is the only viable shape: shuffle volume is
+O(#keys x #partitions x sketch_size), independent of row count.
+Implemented with mapInPandas (partial) + groupBy().applyInPandas
+(final) so every step is Arrow-batched; no per-row Python anywhere
+(BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import (
+    DEFAULT_LG_K,
+    DEFAULT_UPDATE_SEED,
+    FREQ_DEFAULT_MAX_MAP_SIZE,
+    HLL_DEFAULT_LG_K,
+    KLL_DEFAULT_K,
+)
+from ..sketches import hll, theta
+from ..sketches.frequencies import ItemsSketch
+from ..sketches.kll import KllDoublesSketch
+from ..sketches.sampling import PrioritySample, ReservoirSketch
+
+_GLOBAL_KEY = "__ds_global__"
+
+
+def _two_phase(df: DataFrame, by: list[str], value_cols: list[str],
+               build: Callable[[pd.DataFrame], bytes],
+               merge: Callable[[list[bytes]], bytes],
+               out_col: str) -> DataFrame:
+    """Generic partial(update)/final(merge) sketch aggregation."""
+    group_cols = by or [_GLOBAL_KEY]
+    if not by:
+        df = df.withColumn(_GLOBAL_KEY, F.lit(0))
+    df = df.select(*group_cols, *value_cols)
+
+    key_fields = [df.schema[c] for c in group_cols]
+    out_schema = T.StructType(key_fields + [T.StructField(out_col, T.BinaryType())])
+
+    def partial(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, grp in pdf.groupby(group_cols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                rows.append((*key, build(grp)))
+            yield pd.DataFrame(rows, columns=group_cols + [out_col])
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = merge(list(pdf[out_col]))
+        return pdf.iloc[:1][group_cols].assign(**{out_col: [img]})
+
+    partials = df.mapInPandas(partial, schema=out_schema)
+    merged = partials.groupBy(*group_cols).applyInPandas(final, schema=out_schema)
+    return merged.drop(_GLOBAL_KEY) if not by else merged
+
+
+# ---------------------------------------------------------------------------
+# theta
+# ---------------------------------------------------------------------------
+
+def theta_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                     lg_k: int = DEFAULT_LG_K,
+                     seed: int = DEFAULT_UPDATE_SEED,
+                     prehashed: bool = False) -> DataFrame:
+    """groupBy(by).agg(theta_sketch(col)) -> by + theta_sketch:binary.
+
+    ``col`` must be integral (pre-hash strings JVM-side with
+    F.xxhash64 — keeps Python out of the string path).  If
+    ``prehashed`` the column already holds 63-bit update hashes
+    (the union "backdoor", theta/UnionImpl.java:328).
+    """
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        vals = grp[col].dropna().to_numpy()
+        if prehashed:
+            sk = theta.from_update_hashes(vals.astype(np.uint64), lg_k, seed)
+        else:
+            sk = theta.sketch_longs(vals.astype(np.int64), lg_k, seed)
+        return sk.to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        return theta.union_many([theta.ThetaSketch.from_bytes(b) for b in imgs]).to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "theta_sketch")
+
+
+def theta_union_agg(df: DataFrame, sketch_col: str = "theta_sketch",
+                    by: list[str] | None = None) -> DataFrame:
+    """Merge an existing sketch column (checkpoint resume path)."""
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return theta.union_many(
+            [theta.ThetaSketch.from_bytes(b) for b in grp[sketch_col]]).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        return theta.union_many([theta.ThetaSketch.from_bytes(b) for b in imgs]).to_bytes()
+
+    return _two_phase(df, by, [sketch_col], build, merge, sketch_col)
+
+
+@F.pandas_udf(T.DoubleType())
+def theta_estimate(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: theta.ThetaSketch.from_bytes(b).estimate())
+
+
+@F.pandas_udf(T.DoubleType())
+def theta_lower_bound(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: theta.ThetaSketch.from_bytes(b).bounds(2)[0])
+
+
+@F.pandas_udf(T.DoubleType())
+def theta_upper_bound(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: theta.ThetaSketch.from_bytes(b).bounds(2)[1])
+
+
+def _theta_pair_udf(op) -> Callable:
+    @F.pandas_udf(T.BinaryType())
+    def pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            op(theta.ThetaSketch.from_bytes(x), theta.ThetaSketch.from_bytes(y)).to_bytes()
+            for x, y in zip(a, b)])
+    return pair
+
+
+theta_union_pair = _theta_pair_udf(theta.union)
+theta_intersect_pair = _theta_pair_udf(theta.intersect)
+theta_a_not_b_pair = _theta_pair_udf(theta.a_not_b)
+
+
+@F.pandas_udf(T.DoubleType())
+def theta_jaccard_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaccard estimate of two sketch images
+    (theta/JaccardSimilarity.java:55)."""
+    return pd.Series([
+        theta.jaccard(theta.ThetaSketch.from_bytes(x), theta.ThetaSketch.from_bytes(y))[1]
+        for x, y in zip(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+def hll_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                   lg_k: int = HLL_DEFAULT_LG_K,
+                   seed: int = DEFAULT_UPDATE_SEED) -> DataFrame:
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return hll.sketch_longs(
+            grp[col].dropna().to_numpy().astype(np.int64), lg_k, seed).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        return hll.union_many([hll.HllSketch.from_bytes(b) for b in imgs]).to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "hll_sketch")
+
+
+@F.pandas_udf(T.DoubleType())
+def hll_estimate(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: hll.HllSketch.from_bytes(b).estimate())
+
+
+# ---------------------------------------------------------------------------
+# KLL
+# ---------------------------------------------------------------------------
+
+def kll_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                   k: int = KLL_DEFAULT_K) -> DataFrame:
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return KllDoublesSketch.new(k).update_batch(
+            grp[col].dropna().to_numpy().astype(np.float64)).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        out = KllDoublesSketch.new(k)
+        for b in imgs:
+            out.merge(KllDoublesSketch.from_bytes(b))
+        return out.to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "kll_sketch")
+
+
+def kll_quantile(rank: float, inclusive: bool = True) -> Callable:
+    @F.pandas_udf(T.DoubleType())
+    def q(images: pd.Series) -> pd.Series:
+        return images.map(
+            lambda b: KllDoublesSketch.from_bytes(b).quantile(rank, inclusive))
+    return q
+
+
+def kll_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def qs(images: pd.Series) -> pd.Series:
+        return images.map(
+            lambda b: KllDoublesSketch.from_bytes(b).quantiles(ranks, inclusive))
+    return qs
+
+
+def kll_rank(value: float) -> Callable:
+    @F.pandas_udf(T.DoubleType())
+    def r(images: pd.Series) -> pd.Series:
+        return images.map(lambda b: KllDoublesSketch.from_bytes(b).rank(value))
+    return r
+
+
+@F.pandas_udf(T.LongType())
+def kll_n(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: KllDoublesSketch.from_bytes(b).n)
+
+
+# ---------------------------------------------------------------------------
+# frequent items
+# ---------------------------------------------------------------------------
+
+def freq_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                    max_map_size: int = FREQ_DEFAULT_MAX_MAP_SIZE,
+                    weight_col: str | None = None) -> DataFrame:
+    by = by or []
+    value_cols = [col] + ([weight_col] if weight_col else [])
+
+    def build(grp: pd.DataFrame) -> bytes:
+        w = grp[weight_col].to_numpy().astype(np.int64) if weight_col else None
+        return ItemsSketch(max_map_size).update_batch(grp[col].tolist(), w).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        out = ItemsSketch.from_bytes(imgs[0])
+        for b in imgs[1:]:
+            out.merge(ItemsSketch.from_bytes(b))
+        return out.to_bytes()
+
+    return _two_phase(df, by, value_cols, build, merge, "freq_sketch")
+
+
+_FREQ_ROW = T.ArrayType(T.StructType([
+    T.StructField("item", T.StringType()),
+    T.StructField("estimate", T.LongType()),
+    T.StructField("lower_bound", T.LongType()),
+    T.StructField("upper_bound", T.LongType()),
+]))
+
+
+def freq_items(threshold: int, error_type: str = "NO_FALSE_POSITIVES") -> Callable:
+    @F.pandas_udf(_FREQ_ROW)
+    def items(images: pd.Series) -> pd.Series:
+        return images.map(lambda b: [
+            (str(i), e, lb, ub)
+            for i, e, lb, ub in ItemsSketch.from_bytes(b).frequent_items(
+                threshold, error_type)])
+    return items
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def reservoir_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                  k: int = 1024) -> DataFrame:
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return ReservoirSketch(k).update_batch(grp[col].tolist()).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        out = ReservoirSketch.from_bytes(imgs[0])
+        for b in imgs[1:]:
+            out.merge(ReservoirSketch.from_bytes(b))
+        return out.to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "reservoir_sketch")
+
+
+def priority_sample_agg(df: DataFrame, item_col: str, weight_col: str,
+                        by: list[str] | None = None, k: int = 1024) -> DataFrame:
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return PrioritySample(k).update_batch(
+            grp[item_col].to_numpy().astype(np.int64),
+            grp[weight_col].to_numpy().astype(np.float64)).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        out = PrioritySample.from_bytes(imgs[0])
+        for b in imgs[1:]:
+            out.merge(PrioritySample.from_bytes(b))
+        return out.to_bytes()
+
+    return _two_phase(df, by, [item_col, weight_col], build, merge, "varopt_sketch")
+
+
+@F.pandas_udf(T.LongType())
+def reservoir_n(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: ReservoirSketch.from_bytes(b).n)
