@@ -1,38 +1,439 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)          — flagship near-dup pipeline on sf0.001 documents.
+queries()/oracle_sql()— operator-level correctness surface: each Spark
+                        program is checked by the driver against the
+                        DuckDB oracle at sf0.01 (row-count + schema +
+                        order-insensitive value hash).
+
+Design notes for oracle matching:
+  - Sketch queries use exact-mode configs at this SF (distinct counts
+    below k, KLL n below capacity, frequent-items below purge) so the
+    sketch answer equals the exact SQL answer; estimation-mode accuracy
+    is covered by pytest with analytic tolerances (SURVEY.md §5).
+  - Ratios (Jaccard) are emitted as integer micros via integer
+    division in BOTH engines — no float rounding divergence.
+  - Quantile outputs are input values (exact order statistics), not
+    interpolations, so doubles match byte-for-byte.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SHINGLE_TOKENIZE_SQL = "string_split_regex(lower(text), '[^a-z0-9]+')"
+
+# DuckDB 5-word-shingle Jaccard pair list over `documents` — the exact
+# oracle for the LSH pipeline (same tokenizer/shingler as
+# datasketches_java_spark.functions.text).
+_DOC_PAIRS_CTE = f"""
+WITH t AS (SELECT doc_id, {SHINGLE_TOKENIZE_SQL} toks FROM documents),
+sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+         list_transform(range(1, len(toks)-4+1), i -> array_to_string(toks[i:i+4], ' '))
+         ELSE [array_to_string(toks, ' ')] END) s FROM t),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, count(*) c FROM ds GROUP BY 1),
+j AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+pairs AS (SELECT ia, ib, inter, x.c + y.c - inter AS uni
+          FROM j JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+          WHERE inter * 5 >= (x.c + y.c - inter) * 4)
+"""
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup detection + clustering over sf0.001 documents —
+    signatures → LSH → verify → connected components."""
+    from datasketches_java_spark.plans.dedup import dedup_pipeline
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    res = dedup_pipeline(spark, docs, id_col="doc_id", text_col="text")
+    return res.clusters.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# query programs
+# ---------------------------------------------------------------------------
+
+def _q_theta_customers_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg)
+    cust = _read(spark, sf, "customer")
+    sk = theta_sketch_agg(cust, "c_custkey", by=["c_nationkey"], lg_k=12)
+    return (sk.select("c_nationkey",
+                      F.round(theta_estimate("theta_sketch")).cast("long")
+                      .alias("distinct_customers"))
+            .orderBy("c_nationkey"))
+
+
+def _q_theta_orderkeys_global(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg)
+    orders = _read(spark, sf, "orders")
+    sk = theta_sketch_agg(orders, "o_orderkey", lg_k=17)
+    return sk.select(F.round(theta_estimate("theta_sketch")).cast("long")
+                     .alias("distinct_orderkeys"))
+
+
+def _customer_halves(spark: SparkSession, sf: str):
+    from datasketches_java_spark.functions.sketch_aggs import theta_sketch_agg
+    orders = _read(spark, sf, "orders")
+    a = theta_sketch_agg(
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")),
+        "o_custkey", lg_k=12).withColumnRenamed("theta_sketch", "sk_a")
+    b = theta_sketch_agg(
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")),
+        "o_custkey", lg_k=12).withColumnRenamed("theta_sketch", "sk_b")
+    return a.crossJoin(b)
+
+
+def _q_theta_setops(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_a_not_b_pair, theta_estimate, theta_intersect_pair,
+        theta_union_pair)
+    both = _customer_halves(spark, sf)
+    return both.select(
+        F.round(theta_estimate(theta_union_pair("sk_a", "sk_b")))
+        .cast("long").alias("union_custkeys"),
+        F.round(theta_estimate(theta_intersect_pair("sk_a", "sk_b")))
+        .cast("long").alias("intersect_custkeys"),
+        F.round(theta_estimate(theta_a_not_b_pair("sk_a", "sk_b")))
+        .cast("long").alias("a_not_b_custkeys"))
+
+
+def _q_theta_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_intersect_pair, theta_union_pair)
+    both = _customer_halves(spark, sf)
+    inter = F.round(theta_estimate(theta_intersect_pair("sk_a", "sk_b"))).cast("long")
+    uni = F.round(theta_estimate(theta_union_pair("sk_a", "sk_b"))).cast("long")
+    return (both.select((inter * F.lit(1000000)).alias("i6"), uni.alias("u"))
+            .select(F.expr("div(i6, u)").alias("jaccard_micros")))
+
+
+def _q_kll_acctbal_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        kll_quantiles, kll_sketch_agg)
+    cust = _read(spark, sf, "customer")
+    sk = kll_sketch_agg(cust, "c_acctbal", by=["c_nationkey"], k=4096)
+    q = kll_quantiles([0.25, 0.5, 0.75])
+    return (sk.select("c_nationkey", q("kll_sketch").alias("qs"))
+            .select("c_nationkey",
+                    F.col("qs")[0].alias("q25"),
+                    F.col("qs")[1].alias("q50"),
+                    F.col("qs")[2].alias("q75"))
+            .orderBy("c_nationkey"))
+
+
+def _q_kll_price_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        kll_max, kll_min, kll_n, kll_sketch_agg)
+    li = _read(spark, sf, "lineitem")
+    sk = kll_sketch_agg(li, "l_extendedprice", k=200)
+    return sk.select(kll_n("kll_sketch").alias("n"),
+                     kll_min("kll_sketch").alias("min_price"),
+                     kll_max("kll_sketch").alias("max_price"))
+
+
+def _q_freq_orderpriority(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        freq_items, freq_sketch_agg)
+    orders = _read(spark, sf, "orders")
+    sk = freq_sketch_agg(orders, "o_orderpriority", max_map_size=1024)
+    items = freq_items(0)
+    return (sk.select(F.explode(items("freq_sketch")).alias("fi"))
+            .select(F.col("fi.item").alias("o_orderpriority"),
+                    F.col("fi.estimate").alias("cnt"))
+            .orderBy("o_orderpriority"))
+
+
+def _q_freq_heavy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        freq_items, freq_sketch_agg)
+    li = _read(spark, sf, "lineitem").withColumn(
+        "suppkey_str", F.col("l_suppkey").cast("string"))
+    total = _read(spark, sf, "lineitem").count()
+    thresh = total // 120
+    sk = freq_sketch_agg(li, "suppkey_str", max_map_size=1024)
+    items = freq_items(thresh)
+    return (sk.select(F.explode(items("freq_sketch")).alias("fi"))
+            .select(F.col("fi.item").cast("long").alias("l_suppkey"),
+                    F.col("fi.estimate").alias("cnt"))
+            .orderBy("l_suppkey"))
+
+
+def _q_reservoir_nations(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        reservoir_agg, reservoir_samples_long)
+    nation = _read(spark, sf, "nation")
+    sk = reservoir_agg(nation, "n_nationkey", k=64)
+    return (sk.select(F.explode(reservoir_samples_long("reservoir_sketch"))
+                      .alias("n_nationkey"))
+            .orderBy("n_nationkey"))
+
+
+def _q_varopt_subset_sum(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import (
+        priority_sample_agg, varopt_subset_sum)
+    part = _read(spark, sf, "part")
+    sk = priority_sample_agg(part, "p_partkey", "p_retailprice", k=65536)
+    ss = varopt_subset_sum(lambda it: it % 3 == 0)
+    return sk.select(F.round(ss("varopt_sketch"), 2)
+                     .alias("retail_sum_mod3"))
+
+
+def _q_theta_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-incremental path: per-half partial sketches unioned via the
+    sketch-column merge (the checkpoint resume shape, SURVEY.md §2.11)."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg, theta_union_agg)
+    ev = _read(spark, sf, "events")
+    half = F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1))
+    partials = theta_sketch_agg(ev.withColumn("half", half), "user_id",
+                                by=["event_type", "half"], lg_k=12)
+    merged = theta_union_agg(partials.drop("half"), by=["event_type"])
+    return (merged.select("event_type",
+                          F.round(theta_estimate("theta_sketch")).cast("long")
+                          .alias("distinct_users"))
+            .orderBy("event_type"))
+
+
+def _q_exact_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _read(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    canon = docs.groupBy(norm.alias("norm")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"))
+    return (docs.withColumn("norm", norm)
+            .join(canon, on="norm")
+            .select("doc_id", "canonical_id", "group_size")
+            .orderBy("doc_id"))
+
+
+def _q_lsh_dup_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH near-dup pairs with integer-exact Jaccard micros.  The
+    0.8-threshold filter is the integer comparison 5·|∩| ≥ 4·|∪| so
+    boundary pairs agree with the oracle bit-for-bit."""
+    from datasketches_java_spark.operators.lsh import (
+        add_signatures, band_buckets, candidate_pairs)
+    docs = _read(spark, sf, "documents")
+    sig = add_signatures(docs.select("doc_id", "text"), "text")
+    pairs = candidate_pairs(band_buckets(sig, "doc_id"), "doc_id")
+    sh = sig.select("doc_id", "shingles")
+    joined = (pairs
+              .join(sh.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("shingles", "sh_a"), on="id_a")
+              .join(sh.withColumnRenamed("doc_id", "id_b")
+                      .withColumnRenamed("shingles", "sh_b"), on="id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return (joined.select(F.col("id_a").alias("doc_a"),
+                          F.col("id_b").alias("doc_b"),
+                          inter.alias("i"), uni.alias("u"))
+            .where(F.col("i") * 5 >= F.col("u") * 4)
+            .select("doc_a", "doc_b",
+                    F.expr("div(i * 1000000, u)").alias("jaccard_micros"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _q_dedup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.plans.dedup import dedup_pipeline
+    docs = _read(spark, sf, "documents")
+    res = dedup_pipeline(spark, docs, id_col="doc_id", text_col="text")
+    return res.clusters.orderBy("doc_id")
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-trigram Jaccard ≥ 0.6 over ALL pairs — the brute-force
+    baseline the LSH path approximates (distinct op: no banding, no
+    candidate pruning)."""
+    from datasketches_java_spark.functions.text import shingles, tokens
+    docs = _read(spark, sf, "documents")
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens("text"), w=3)).alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    uni = F.size(F.array_union("ga", "gb")).cast("long")
+    return (a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", inter.alias("i"), uni.alias("u"))
+            .where(F.col("i") * 5 >= F.col("u") * 3)
+            .select("doc_a", "doc_b",
+                    F.expr("div(i * 1000000, u)").alias("jaccard_micros"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.text import token_count, char_count
+    docs = _read(spark, sf, "documents")
+    toks = token_count("text")
+    return (docs.select(
+        "doc_id", toks.alias("token_cnt"), char_count("text").alias("char_cnt"),
+        F.size(F.array_distinct(F.split(F.lower("text"), r"[^\p{L}\p{N}]+")))
+        .alias("distinct_tokens"))
+        .orderBy("doc_id"))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.operators.similarity import cosine_topk
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, id_col="vec_id", vec_col="embedding",
+                       k=5).orderBy("query_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "theta_distinct_customers_by_nation": _q_theta_customers_by_nation,
+        "theta_distinct_orderkeys": _q_theta_orderkeys_global,
+        "theta_setops_custkey_halves": _q_theta_setops,
+        "theta_jaccard_custkey_halves": _q_theta_jaccard,
+        "kll_quantiles_acctbal_by_nation": _q_kll_acctbal_by_nation,
+        "kll_price_stats": _q_kll_price_stats,
+        "freq_orderpriority_counts": _q_freq_orderpriority,
+        "freq_heavy_suppliers": _q_freq_heavy_suppliers,
+        "reservoir_nation_cover": _q_reservoir_nations,
+        "varopt_subset_sum_parts": _q_varopt_subset_sum,
+        "theta_incremental_events": _q_theta_incremental_events,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "lsh_dup_pairs_documents": _q_lsh_dup_pairs_documents,
+        "dedup_clusters_documents": _q_dedup_clusters_documents,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "text_stats_documents": _q_text_stats_documents,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "theta_distinct_customers_by_nation": """
+            SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_customers
+            FROM customer GROUP BY 1 ORDER BY 1""",
+        "theta_distinct_orderkeys": """
+            SELECT COUNT(DISTINCT o_orderkey) AS distinct_orderkeys FROM orders""",
+        "theta_setops_custkey_halves": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+            SELECT (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                     AS union_custkeys,
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                     AS intersect_custkeys,
+                   (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                     AS a_not_b_custkeys""",
+        "theta_jaccard_custkey_halves": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+                 i AS (SELECT count(*) c FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+                 u AS (SELECT count(*) c FROM (SELECT * FROM a UNION SELECT * FROM b))
+            SELECT (SELECT c FROM i) * 1000000 // (SELECT c FROM u)
+                   AS jaccard_micros""",
+        "kll_quantiles_acctbal_by_nation": """
+            WITH r AS (SELECT c_nationkey, c_acctbal,
+                              cume_dist() OVER (PARTITION BY c_nationkey
+                                                ORDER BY c_acctbal) cd
+                       FROM customer)
+            SELECT c_nationkey,
+                   MIN(c_acctbal) FILTER (WHERE cd >= 0.25) AS q25,
+                   MIN(c_acctbal) FILTER (WHERE cd >= 0.5)  AS q50,
+                   MIN(c_acctbal) FILTER (WHERE cd >= 0.75) AS q75
+            FROM r GROUP BY 1 ORDER BY 1""",
+        "kll_price_stats": """
+            SELECT count(l_extendedprice) AS n,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price FROM lineitem""",
+        "freq_orderpriority_counts": """
+            SELECT o_orderpriority, count(*) AS cnt FROM orders
+            GROUP BY 1 ORDER BY 1""",
+        "freq_heavy_suppliers": """
+            SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+            HAVING count(*) >= (SELECT count(*) // 120 FROM lineitem)
+            ORDER BY 1""",
+        "reservoir_nation_cover": """
+            SELECT n_nationkey FROM nation ORDER BY 1""",
+        "varopt_subset_sum_parts": """
+            SELECT round(sum(p_retailprice), 2) AS retail_sum_mod3
+            FROM part WHERE p_partkey % 3 = 0""",
+        "theta_incremental_events": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "exact_dedup_documents": """
+            WITH n AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) norm
+                       FROM documents),
+                 c AS (SELECT norm, min(doc_id) canonical_id, count(*) group_size
+                       FROM n GROUP BY 1)
+            SELECT n.doc_id, c.canonical_id, c.group_size
+            FROM n JOIN c USING (norm) ORDER BY n.doc_id""",
+        "lsh_dup_pairs_documents": _DOC_PAIRS_CTE + """
+            SELECT ia AS doc_a, ib AS doc_b,
+                   inter * 1000000 // uni AS jaccard_micros
+            FROM pairs ORDER BY 1, 2""",
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id,
+                              list_filter({SHINGLE_TOKENIZE_SQL}, x -> x != '') toks
+                       FROM documents),
+            g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+                    list_transform(range(1, len(toks)-2+1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) grams FROM t),
+            p AS (SELECT a.doc_id da, b.doc_id db,
+                         len(list_intersect(a.grams, b.grams))::bigint i,
+                         (len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams)))::bigint u
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT da AS doc_a, db AS doc_b, i * 1000000 // u AS jaccard_micros
+            FROM p WHERE i * 5 >= u * 3 ORDER BY 1, 2""",
+        "dedup_clusters_documents": _DOC_PAIRS_CTE + """,
+            edges AS (SELECT ia a, ib b FROM pairs
+                      UNION SELECT ib, ia FROM pairs),
+            rec AS (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              SELECT a, min(b) mn FROM reach GROUP BY a),
+            comp AS (SELECT a AS id, least(a, mn) AS cluster_id FROM rec)
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ORDER BY d.doc_id""",
+        "text_stats_documents": f"""
+            SELECT doc_id,
+                   len(list_filter({SHINGLE_TOKENIZE_SQL}, t -> t != ''))
+                     AS token_cnt,
+                   length(text) AS char_cnt,
+                   len(list_distinct(list_filter({SHINGLE_TOKENIZE_SQL},
+                                                 t -> t != '')))
+                     AS distinct_tokens
+            FROM documents ORDER BY doc_id""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                       WHERE vec_id < 10),
+                 s AS (SELECT qid, vec_id nid,
+                              list_cosine_similarity(qe, embedding) sim
+                       FROM q JOIN embeddings ON vec_id != qid),
+                 r AS (SELECT qid, nid,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY sim DESC, nid) rk
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, rk AS rank
+            FROM r WHERE rk <= 5 ORDER BY 1, 3""",
+    }

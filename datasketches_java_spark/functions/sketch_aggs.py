@@ -225,6 +225,16 @@ def kll_n(images: pd.Series) -> pd.Series:
     return images.map(lambda b: KllDoublesSketch.from_bytes(b).n)
 
 
+@F.pandas_udf(T.DoubleType())
+def kll_min(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: KllDoublesSketch.from_bytes(b).min_value)
+
+
+@F.pandas_udf(T.DoubleType())
+def kll_max(images: pd.Series) -> pd.Series:
+    return images.map(lambda b: KllDoublesSketch.from_bytes(b).max_value)
+
+
 # ---------------------------------------------------------------------------
 # frequent items
 # ---------------------------------------------------------------------------
@@ -307,3 +317,20 @@ def priority_sample_agg(df: DataFrame, item_col: str, weight_col: str,
 @F.pandas_udf(T.LongType())
 def reservoir_n(images: pd.Series) -> pd.Series:
     return images.map(lambda b: ReservoirSketch.from_bytes(b).n)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def reservoir_samples_long(images: pd.Series) -> pd.Series:
+    """Sorted long samples of a reservoir image."""
+    return images.map(lambda b: sorted(
+        int(x) for x in ReservoirSketch.from_bytes(b).samples))
+
+
+def varopt_subset_sum(predicate: Callable) -> Callable:
+    """UDF factory: unbiased Σweight over items matching ``predicate``
+    (sampling/VarOptItemsSketch.java:636 estimateSubsetSum)."""
+    @F.pandas_udf(T.DoubleType())
+    def subset_sum(images: pd.Series) -> pd.Series:
+        return images.map(lambda b: PrioritySample.from_bytes(b)
+                          .estimate_subset_sum(predicate)["estimate"])
+    return subset_sum
