@@ -1,0 +1,115 @@
+"""Benchmark entry point (driver contract).
+
+Default mode: runs the headline end-to-end dedup pipeline
+(signature + LSH + cluster) on a deterministic webtext fixture plus a
+set of representative operator queries at $SPARK_GRAFT_SF_DIR, on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+  {"metric": "docs/sec (signature+LSH+cluster end-to-end)",
+   "value": <docs/sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--scaling` mode: reruns the identical pipeline job at two parallelism
+levels (local[8] vs local[32]) on the same input — the sandbox
+evidence for the north rule's N→4N executor scaling-efficiency ≥ 0.8
+criterion (no real cluster here; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+FIXTURE_DIR = os.path.join(REPO, ".cache", f"webtext_bench_{BENCH_DOCS}")
+
+# operator queries timed alongside the pipeline (names from
+# __spark_entry__.queries(); chosen to cover sketch agg, set ops,
+# quantiles, heavy hitters, dedup and ANN paths)
+BENCH_QUERIES = [
+    "theta_distinct_customers_by_nation",
+    "theta_setops_custkey_halves",
+    "kll_quantiles_acctbal_by_nation",
+    "freq_heavy_suppliers",
+    "theta_incremental_events",
+    "lsh_dup_pairs_documents",
+    "ann_cosine_topk",
+]
+
+
+def _fixture(spark):
+    from datasketches_java_spark.sources.webtext import write_fixture
+    paths = write_fixture(FIXTURE_DIR, n_docs=BENCH_DOCS, seed=42)
+    return spark.read.parquet(paths["pages"])
+
+
+def run_pipeline(spark) -> tuple[float, int, dict]:
+    """End-to-end dedup; returns (wall_s, n_docs, stats)."""
+    from datasketches_java_spark.plans.dedup import dedup_pipeline
+
+    pages = _fixture(spark)
+    n_docs = pages.count()  # warm the scan before timing compute
+    t0 = time.time()
+    res = dedup_pipeline(spark, pages, id_col="url", text_col="text")
+    n_pairs = res.dup_pairs.count()
+    n_clustered = res.clusters.filter("url != cluster_id").count()
+    wall = time.time() - t0
+    return wall, n_docs, {"dup_pairs": n_pairs, "clustered_docs": n_clustered}
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _spark(cores: int):
+    from datasketches_java_spark.functions.session import get_spark
+    return get_spark("bench", cores=cores,
+                     shuffle_partitions=max(cores * 2, 16))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        rows = []
+        for cores in (8, 32):
+            spark = _spark(cores)
+            wall, n_docs, _ = run_pipeline(spark)
+            spark.stop()
+            rows.append({"cores": cores, "wall_s": round(wall, 2),
+                         "docs_per_sec": round(n_docs / wall, 1)})
+        eff = rows[1]["docs_per_sec"] / rows[0]["docs_per_sec"] / (32 / 8)
+        print(json.dumps({"metric": "scaling efficiency local[8]->local[32]",
+                          "value": round(eff, 3), "unit": "ratio",
+                          "runs": rows, "n_docs": BENCH_DOCS}))
+        return
+
+    spark = _spark(CPUS)
+    wall, n_docs, stats = run_pipeline(spark)
+    queries = run_queries(spark)
+    spark.stop()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "docs/sec (signature+LSH+cluster end-to-end)",
+        "value": round(n_docs / wall, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": {"n_docs": n_docs, "wall_s": round(wall, 2), **stats},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,12 +73,13 @@ def _near_dup(tokens: list[str], target_j: float, vocab: list[str],
     for p in pos:
         op = rng.integers(0, 3)
         w = vocab[rng.integers(0, len(vocab))]
+        p = int(p) % len(out)  # deletes shrink the list; stay in range
         if op == 0:
             out[p] = w                       # replace
         elif op == 1:
             out.insert(p, w)                 # insert
         elif len(out) > SHINGLE_W + 2:
-            del out[p % len(out)]            # delete
+            del out[p]                       # delete
     return out
 
 

@@ -1,0 +1,106 @@
+"""Streaming / batch-incremental processing.
+
+The reference's "streaming" is single-pass update (SURVEY.md §2.11 —
+no time semantics); in Spark that maps to two shapes, both here:
+
+1. **Batch-incremental** (production shape for WARC crawls): new
+   partitions are processed as a delta — anti-join against the
+   checkpointed id set, signatures computed only for new docs, sketch
+   state merged via sketch-column union (the update/merge algebra is
+   exactly what makes this correct: union(state, sketch(delta)) ==
+   sketch(all)).
+2. **Structured Streaming**: `incremental_sketch_stream` wires the
+   same two-phase sketch aggregation into a streaming query with
+   watermarked event-time windows via foreachBatch — each micro-batch
+   unions its partial sketches into a parquet state table; the merge
+   algebra makes micro-batch boundaries invisible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.sketch_aggs import theta_sketch_agg, theta_union_agg
+from ..operators.lsh import add_signatures
+
+
+def delta_new_docs(all_pages: DataFrame, processed_ids: DataFrame,
+                   id_col: str) -> DataFrame:
+    """Resume path: rows not yet processed (left_anti on the
+    checkpointed id set — SURVEY.md §7.8)."""
+    return all_pages.join(processed_ids.select(id_col), on=id_col,
+                          how="left_anti")
+
+
+def incremental_signatures(spark: SparkSession, pages: DataFrame,
+                           state_dir: str, id_col: str = "url",
+                           text_col: str = "text") -> DataFrame:
+    """Signature table maintained incrementally: compute only the
+    delta, append, return the full table."""
+    path = os.path.join(state_dir, "signatures")
+    have = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if have:
+        state = spark.read.parquet(path)
+        delta = delta_new_docs(pages, state, id_col)
+    else:
+        state, delta = None, pages
+    sig = add_signatures(delta.select(id_col, text_col), text_col)
+    sig.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def incremental_theta_state(spark: SparkSession, batch: DataFrame,
+                            state_dir: str, col: str,
+                            by: list[str], **agg_kw) -> DataFrame:
+    """Merge a new batch's partial sketches into a persistent per-key
+    sketch state table; returns the merged state.
+
+    union(state, sketch(batch)) == sketch(state_stream + batch) — the
+    associative/commutative merge contract (theta/UnionImpl.java:300)
+    is what lets state live across arbitrary batch boundaries.
+    """
+    path = os.path.join(state_dir, "theta_state")
+    partial = theta_sketch_agg(batch, col, by=by, **agg_kw)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        prev = spark.read.parquet(path)
+        merged = theta_union_agg(prev.unionByName(partial), by=by)
+    else:
+        merged = partial
+    tmp = path + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def incremental_sketch_stream(spark: SparkSession, stream: DataFrame,
+                              state_dir: str, col: str, by: list[str],
+                              ts_col: str = "ts",
+                              watermark: str = "1 hour",
+                              window: str = "1 hour",
+                              checkpoint: str | None = None):
+    """Structured Streaming wrapper: watermarked event-time windows,
+    per-window per-key theta sketches, state merged per micro-batch
+    via foreachBatch (the merge algebra makes this exactly-once on
+    top of the parquet state table).
+
+    Returns the StreamingQuery; caller awaits/stops it.
+    """
+    windowed = stream.withWatermark(ts_col, watermark).withColumn(
+        "win", F.window(ts_col, window).start.cast("string"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_theta_state(batch_df.sparkSession, batch_df,
+                                state_dir, col, by=["win", *by])
+
+    return (windowed.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation",
+                    checkpoint or os.path.join(state_dir, "_stream_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,170 @@
+"""Tests: multimodal column plumbing, similarity search, incremental
+streaming state."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_java_spark.functions.multimodal import (
+    audio_stats,
+    decode_image,
+    frame_sample,
+    image_features,
+)
+from datasketches_java_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_blas,
+    simhash_ann_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(np.random.default_rng(i).integers(0, 256, 4096,
+                                                        dtype=np.uint8)))
+            for i in range(20)]
+    return spark.createDataFrame(rows, "media_id long, blob binary").cache()
+
+
+def test_decode_image_contract(spark, media):
+    out = decode_image(media, "blob", "media_id", width=8, height=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["meta"]["width"] == 8 and r["meta"]["channels"] == 3
+        assert len(r["pixels"]) == 8 * 8 * 3
+        assert all(0 <= p <= 255 for p in r["pixels"][:10])
+    # deterministic: same content -> same pixels
+    again = decode_image(media, "blob", "media_id", width=8, height=8)
+    assert again.exceptAll(out).count() == 0
+
+
+def test_decode_image_real_path_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        decode_image(media.limit(1), "blob", "media_id", fake=False).collect()
+
+
+def test_image_feature_shape(spark, media):
+    px = decode_image(media, "blob", "media_id", width=8, height=8)
+    feats = image_features(px, "pixels", "media_id", dim=16).collect()
+    assert len(feats) == 20
+    assert all(len(r["features"]) == 16 for r in feats)
+
+
+def test_frame_sample(spark, media):
+    out = frame_sample(media, "blob", "media_id", n_frames=4, frame_size=128)
+    rows = out.collect()
+    assert len(rows) == 80
+    assert all(len(r["frame_bytes"]) <= 128 for r in rows)
+    idx = sorted({r["frame_idx"] for r in rows})
+    assert idx == [0, 1, 2, 3]
+
+
+def test_audio_stats(spark, media):
+    rows = audio_stats(media, "blob", "media_id").collect()
+    assert len(rows) == 20
+    assert all(r["n_samples"] == 2048 and r["rms"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    # make 0/1 and 2/3 near-identical pairs
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)
+    base[3] = base[2] + 0.01 * rng.standard_normal(16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    out = cosine_topk(embeddings.filter("vec_id < 4"), embeddings,
+                      "vec_id", "embedding", k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1[0] == 1 and top1[1] == 0 and top1[2] == 3 and top1[3] == 2
+
+
+def test_cosine_topk_blas_matches_exact(spark, embeddings):
+    exact = cosine_topk(embeddings.filter("vec_id < 6"), embeddings,
+                        "vec_id", "embedding", k=3)
+    blas = cosine_topk_blas(embeddings.filter("vec_id < 6"), embeddings,
+                            "vec_id", "embedding", k=3)
+    assert blas.exceptAll(exact).count() == 0
+    assert exact.exceptAll(blas).count() == 0
+
+
+def test_simhash_ann_recall_at_near_dup(spark, embeddings):
+    out = simhash_ann_buckets(embeddings.filter("vec_id < 2"), embeddings,
+                              "vec_id", "embedding", k=3, bits=4).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    # near-identical vectors land in the same hyperplane bucket
+    assert top1.get(0) == 1 and top1.get(1) == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming
+# ---------------------------------------------------------------------------
+
+def test_incremental_theta_state(spark, tmp_path):
+    from datasketches_java_spark.functions.sketch_aggs import theta_estimate
+    from datasketches_java_spark.streaming.incremental import (
+        incremental_theta_state)
+    state = str(tmp_path / "st")
+    b1 = spark.createDataFrame([(i % 3, i) for i in range(100)], "k int, v long")
+    b2 = spark.createDataFrame([(i % 3, i) for i in range(50, 200)], "k int, v long")
+    incremental_theta_state(spark, b1, state, "v", by=["k"])
+    merged = incremental_theta_state(spark, b2, state, "v", by=["k"])
+    got = {r["k"]: int(round(r["est"])) for r in merged.select(
+        "k", theta_estimate("theta_sketch").alias("est")).collect()}
+    # exact mode: distinct v per k over 0..199
+    want = {k: len({v for v in range(200) if v % 3 == k}) for k in range(3)}
+    assert got == want
+
+
+def test_delta_new_docs(spark):
+    from datasketches_java_spark.streaming.incremental import delta_new_docs
+    pages = spark.createDataFrame([(f"u{i}", "t") for i in range(10)],
+                                  "url string, text string")
+    done = spark.createDataFrame([(f"u{i}",) for i in range(6)], "url string")
+    assert delta_new_docs(pages, done, "url").count() == 4
+
+
+def test_streaming_sketch_query(spark, tmp_path):
+    """Structured Streaming micro-batch path: rate-limited file stream
+    of events → windowed theta state; result equals batch answer."""
+    import pandas as pd
+    from datasketches_java_spark.functions.sketch_aggs import theta_estimate
+    from datasketches_java_spark.streaming.incremental import (
+        incremental_sketch_stream)
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime("2025-01-01") + pd.to_timedelta(
+            np.arange(300) * 20, unit="s"),
+        "user": np.arange(300) % 37,
+        "etype": ["a" if i % 2 else "b" for i in range(300)],
+    })
+    pdf.to_parquet(src / "p0.parquet", index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    stream = (spark.readStream.schema("ts timestamp, user long, etype string")
+              .parquet(str(src)))
+    q = incremental_sketch_stream(spark, stream, str(tmp_path / "state"),
+                                  "user", by=["etype"], ts_col="ts",
+                                  window="30 minutes")
+    q.awaitTermination(120)
+    state = spark.read.parquet(str(tmp_path / "state" / "theta_state"))
+    got = state.select("win", "etype",
+                       F.round(theta_estimate("theta_sketch")).cast("long")
+                       .alias("users"))
+    batch = (spark.createDataFrame(pdf)
+             .withColumn("win", F.window("ts", "30 minutes").start.cast("string"))
+             .groupBy("win", "etype")
+             .agg(F.countDistinct("user").alias("users")))
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
