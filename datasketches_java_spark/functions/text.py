@@ -49,8 +49,22 @@ def shingles(toks: Column, w: int = SHINGLE_W) -> Column:
 def shingle_hashes(text: Column | str, w: int = SHINGLE_W) -> Column:
     """Distinct int64 shingle-set of a document — the input to MinHash,
     SimHash and exact-Jaccard verification.  Sorted for deterministic
-    downstream numpy ops."""
+    downstream numpy ops.
+
+    NOTE: inside higher-order-function lambdas, non-trivial argument
+    subtrees are re-evaluated per element — O(tokens²) per doc if the
+    tokenizer rides inside.  Hot paths must bind the token array to a
+    real column first and use ``shingle_hashes_from_tokens``
+    (operators/lsh.add_signatures does)."""
     sh = shingles(tokens(text), w)
+    return F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
+
+
+def shingle_hashes_from_tokens(toks: Column | str, w: int = SHINGLE_W) -> Column:
+    """Same as shingle_hashes but over a pre-bound token-array column —
+    the O(tokens·w) path."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    sh = shingles(c, w)
     return F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
 
 

@@ -65,12 +65,22 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint()
 
+    def fingerprint(df: DataFrame):
+        # one narrow aggregate instead of two exceptAll shuffles; the
+        # edge set is canonical+distinct so (count, sum-of-hash)
+        # identifies it (collision odds ~2^-64 per iteration)
+        row = df.agg(F.count(F.lit(1)).alias("c"),
+                     F.expr("bit_xor(xxhash64(src, dst))").alias("h")).first()
+        return row["c"], row["h"]
+
+    fp = fingerprint(e)
     for _ in range(max_iterations):
         e2 = _canonical(_small_star(_large_star(e))).localCheckpoint()
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        fp2 = fingerprint(e2)
         e = e2
-        if changed == 0:
+        if fp2 == fp:
             break
+        fp = fp2
 
     # fixpoint: a star forest in canonical (min, member) orientation —
     # src is the component minimum, dst the member

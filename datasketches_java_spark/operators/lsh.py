@@ -49,7 +49,10 @@ def add_signatures(df: DataFrame, text_col: str = "text",
     Shingling is JVM-side (functions/text.py); the two signatures are
     one Arrow-batched pandas UDF each (functions/minhash.py).
     """
-    df = df.withColumn(shingle_col, shingle_hashes(text_col))
+    from ..functions.text import shingle_hashes_from_tokens, tokens
+    df = (df.withColumn("_toks", tokens(text_col))
+            .withColumn(shingle_col, shingle_hashes_from_tokens("_toks"))
+            .drop("_toks"))
     return (df
             .withColumn(minhash_col, minhash128(F.col(shingle_col)))
             .withColumn(simhash_col, simhash64(F.col(shingle_col))))
@@ -85,7 +88,9 @@ def candidate_pairs(buckets: DataFrame, id_col: str,
     clusters stay connected while hot buckets stay O(n) in edges.
     """
     w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
-    ranked = buckets.withColumn("rn", F.row_number().over(w))
+    # persisted: consumed three times (dense pairs x2 via self-join,
+    # hub, overflow) — one window pass instead of three
+    ranked = buckets.withColumn("rn", F.row_number().over(w)).persist()
 
     capped = ranked.filter(F.col("rn") <= bucket_cap)
     a, b = capped.alias("a"), capped.alias("b")

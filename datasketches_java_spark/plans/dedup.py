@@ -51,7 +51,11 @@ def dedup_pipeline(spark: SparkSession, pages: DataFrame, id_col: str = "url",
     def stage(name: str, build, lineage: str | None = None) -> DataFrame:
         if store:
             return store.run_stage(name, build, lineage_col=lineage)
-        return build()
+        # no durable checkpoint: persist so multi-consumer stages
+        # (signatures feed both banding and verification) are computed
+        # once — without this every downstream action recomputes the
+        # whole upstream chain
+        return build().persist()
 
     sig = stage(
         "01_signatures",
