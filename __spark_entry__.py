@@ -212,6 +212,35 @@ def _q_theta_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q_tuple_spend_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Attributed distinct: per nation, distinct ordering customers AND
+    their total spend (cents) from ONE tuple sketch — summary algebra
+    rides with the retained keys (tuple/UpdatableSketch.java:40)."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        tuple_estimate, tuple_sketch_agg, tuple_sum_value)
+    orders = _read(spark, sf, "orders")
+    cust = _read(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    joined = (orders.join(F.broadcast(cust),
+                          orders.o_custkey == cust.c_custkey)
+              .withColumn("cents", F.round(F.col("o_totalprice") * 100)
+                          .cast("double")))
+    sk = tuple_sketch_agg(joined, "o_custkey", ["cents"],
+                          by=["c_nationkey"], lg_k=12, mode="Sum")
+    return (sk.select(
+        "c_nationkey",
+        F.round(tuple_estimate("tuple_sketch")).cast("long")
+        .alias("distinct_customers"),
+        F.round(tuple_sum_value(0)("tuple_sketch")).cast("long")
+        .alias("spend_cents"))
+        .orderBy("c_nationkey"))
+
+
+def _q_fdt_parts_per_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    from datasketches_java_spark.functions.sketch_aggs import fdt_topk
+    li = _read(spark, sf, "lineitem")
+    return fdt_topk(li, ["l_suppkey"], "l_partkey", k=10, lg_k=12)
+
+
 def _q_exact_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     docs = _read(spark, sf, "documents")
     norm = F.lower(F.regexp_replace("text", r"\s+", " "))
@@ -231,7 +260,7 @@ def _q_lsh_dup_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.operators.lsh import (
         add_signatures, band_buckets, candidate_pairs)
     docs = _read(spark, sf, "documents")
-    sig = add_signatures(docs.select("doc_id", "text"), "text")
+    sig = add_signatures(docs.select("doc_id", "text"), "text").persist()
     pairs = candidate_pairs(band_buckets(sig, "doc_id"), "doc_id")
     sh = sig.select("doc_id", "shingles")
     joined = (pairs
@@ -313,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_nation_cover": _q_reservoir_nations,
         "varopt_subset_sum_parts": _q_varopt_subset_sum,
         "theta_incremental_events": _q_theta_incremental_events,
+        "tuple_spend_by_nation": _q_tuple_spend_by_nation,
+        "fdt_parts_per_supplier": _q_fdt_parts_per_supplier,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "lsh_dup_pairs_documents": _q_lsh_dup_pairs_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
@@ -378,6 +409,17 @@ def oracle_sql() -> dict[str, str]:
         "theta_incremental_events": """
             SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY 1 ORDER BY 1""",
+        "tuple_spend_by_nation": """
+            SELECT c.c_nationkey,
+                   COUNT(DISTINCT o.o_custkey) AS distinct_customers,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                     AS spend_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1""",
+        "fdt_parts_per_supplier": """
+            SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_rest
+            FROM lineitem GROUP BY 1
+            ORDER BY 2 DESC, 1 LIMIT 10""",
         "exact_dedup_documents": """
             WITH n AS (SELECT doc_id,
                               lower(regexp_replace(text, '\\s+', ' ', 'g')) norm

@@ -277,6 +277,62 @@ def freq_items(threshold: int, error_type: str = "NO_FALSE_POSITIVES") -> Callab
 
 
 # ---------------------------------------------------------------------------
+# tuple (attributed distinct) sketch
+# ---------------------------------------------------------------------------
+
+def tuple_sketch_agg(df: DataFrame, key_col: str, value_cols: list[str],
+                     by: list[str] | None = None,
+                     lg_k: int = DEFAULT_LG_K,
+                     seed: int = DEFAULT_UPDATE_SEED,
+                     mode: str = "Sum") -> DataFrame:
+    """groupBy(by).agg(tuple_sketch(key, values)) — distinct keys with
+    per-key summary algebra (tuple/UpdatableSketch.java:40)."""
+    from ..sketches import tuple as tpl
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        keys = grp[key_col].to_numpy().astype(np.int64)
+        vals = grp[list(value_cols)].to_numpy().astype(np.float64)
+        return tpl.sketch_keyed_values(keys, vals, lg_k, seed, mode).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        return tpl.union_many(
+            [tpl.TupleSketch.from_bytes(b) for b in imgs]).to_bytes()
+
+    return _two_phase(df, by, [key_col, *value_cols], build, merge,
+                      "tuple_sketch")
+
+
+@F.pandas_udf(T.DoubleType())
+def tuple_estimate(images: pd.Series) -> pd.Series:
+    from ..sketches.tuple import TupleSketch
+    return images.map(lambda b: TupleSketch.from_bytes(b).estimate())
+
+
+def tuple_sum_value(dim: int = 0) -> Callable:
+    """Unbiased Σ of summary dimension ``dim`` over all distinct keys."""
+    @F.pandas_udf(T.DoubleType())
+    def s(images: pd.Series) -> pd.Series:
+        from ..sketches.tuple import TupleSketch
+        return images.map(
+            lambda b: float(TupleSketch.from_bytes(b).sum_values()[dim]))
+    return s
+
+
+def fdt_topk(df: DataFrame, primary_cols: list[str], rest_col: str,
+             k: int = 10, lg_k: int = DEFAULT_LG_K) -> DataFrame:
+    """Frequent distinct tuples (fdt/FdtSketch.java:49) as the pure
+    Spark composition SURVEY.md §2.7 prescribes: groupBy(primary) →
+    theta-distinct(rest) → top-k by estimate."""
+    sk = theta_sketch_agg(df, rest_col, by=primary_cols, lg_k=lg_k)
+    return (sk.select(*primary_cols,
+                      F.round(theta_estimate("theta_sketch")).cast("long")
+                      .alias("distinct_rest"))
+            .orderBy(F.desc("distinct_rest"), *primary_cols)
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------
 

@@ -138,7 +138,7 @@ def lsh_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                   bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """End-to-end near-dup pair detection: signatures → bands →
     candidates → verified (id_a, id_b, jaccard)."""
-    sig = add_signatures(df.select(id_col, text_col), text_col)
+    sig = add_signatures(df.select(id_col, text_col), text_col).persist()
     buckets = band_buckets(sig, id_col)
     pairs = candidate_pairs(buckets, id_col, bucket_cap)
     return verify_pairs(pairs, sig, id_col, threshold=threshold)
