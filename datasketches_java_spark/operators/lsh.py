@@ -79,18 +79,40 @@ def band_buckets(df: DataFrame, id_col: str, minhash_col: str = "minhash",
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str,
-                    bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+                    bucket_cap: int = LSH_BUCKET_CAP,
+                    hot_factor: int = 8,
+                    n_salts: int = 32) -> DataFrame:
     """Bucket table (id, band, band_hash) → distinct candidate pairs
     (id_a < id_b).
 
-    Within each bucket: all pairs among the first ``bucket_cap``
-    members (deterministic order by id) + star edges hub→overflow, so
-    clusters stay connected while hot buckets stay O(n) in edges.
+    Normal buckets: all pairs among the first ``bucket_cap`` members
+    (deterministic order by id) + star edges hub→overflow — clusters
+    stay connected while edges stay O(cap² + n).
+
+    HOT buckets (> cap·hot_factor members — the template-farm skew
+    case): the window trick would still sort the whole bucket in ONE
+    task, so these take a salted path instead: each member gets
+    salt = xxhash64(id) mod n_salts; a per-(bucket, salt) hub is
+    elected with a plain aggregate (parallel across salts), members
+    star onto their salt-hub, and salt-hubs chain onto the bucket's
+    global hub.  No single task ever sees more than ~|bucket|/n_salts
+    rows, edge count stays O(n), connectivity is preserved.
     """
+    sizes = buckets.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size"))
+    hot_keys = sizes.filter(
+        F.col("bucket_size") > bucket_cap * hot_factor)
+    marked = buckets.join(F.broadcast(hot_keys.select("band", "band_hash")
+                                      .withColumn("_hot", F.lit(True))),
+                          on=["band", "band_hash"], how="left")
+    normal = marked.filter(F.col("_hot").isNull()).drop("_hot")
+    hot = marked.filter(F.col("_hot").isNotNull()).drop("_hot")
+
+    # -- normal path: capped dense pairs + overflow star --
     w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
     # persisted: consumed three times (dense pairs x2 via self-join,
     # hub, overflow) — one window pass instead of three
-    ranked = buckets.withColumn("rn", F.row_number().over(w)).persist()
+    ranked = normal.withColumn("rn", F.row_number().over(w)).persist()
 
     capped = ranked.filter(F.col("rn") <= bucket_cap)
     a, b = capped.alias("a"), capped.alias("b")
@@ -105,7 +127,24 @@ def candidate_pairs(buckets: DataFrame, id_col: str,
         "band", "band_hash", F.col(id_col).alias("id_b"))
     star = hub.join(overflow, on=["band", "band_hash"]).select("id_a", "id_b")
 
-    return dense.unionByName(star).distinct()
+    # -- hot path: salted hubs, aggregate-only (no window) --
+    salted = hot.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    salt_hub = (salted.groupBy("band", "band_hash", "salt")
+                .agg(F.min(id_col).alias("hub")))
+    hot_member = (salted.join(salt_hub, on=["band", "band_hash", "salt"])
+                  .where(F.col(id_col) != F.col("hub"))
+                  .select(F.least(id_col, "hub").alias("id_a"),
+                          F.greatest(id_col, "hub").alias("id_b")))
+    bucket_hub = (salt_hub.groupBy("band", "band_hash")
+                  .agg(F.min("hub").alias("hub0")))
+    hub_chain = (salt_hub.join(bucket_hub, on=["band", "band_hash"])
+                 .where(F.col("hub") != F.col("hub0"))
+                 .select(F.least("hub", "hub0").alias("id_a"),
+                         F.greatest("hub", "hub0").alias("id_b")))
+
+    return (dense.unionByName(star)
+            .unionByName(hot_member).unionByName(hub_chain).distinct())
 
 
 def hot_buckets(buckets: DataFrame, min_size: int = LSH_BUCKET_CAP) -> DataFrame:

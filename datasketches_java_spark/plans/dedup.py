@@ -46,6 +46,14 @@ def dedup_pipeline(spark: SparkSession, pages: DataFrame, id_col: str = "url",
                    checkpoint_dir: str | None = None,
                    with_lcs: bool = False) -> DedupResult:
     """Run (or resume) the full dedup pipeline."""
+    # Guard against under-split sources (one fat parquet row group ⇒
+    # one scan task ⇒ the whole signature stage runs serially).  On a
+    # real cluster the Iceberg table is split-friendly and this is a
+    # no-op; the check is metadata-only.
+    cores = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < cores:
+        pages = pages.repartition(cores * 2)
+
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
 
     def stage(name: str, build, lineage: str | None = None) -> DataFrame:

@@ -229,9 +229,12 @@ def write_fixture(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
         return paths
     tables = generate_webtext(n_docs, seed)
     for k, p in paths.items():
-        # Spark's parquet reader rejects TIMESTAMP(NANOS) — write µs.
+        # µs timestamps (Spark rejects NANOS); small row groups so the
+        # scan yields parallel splits — a single row group caps every
+        # downstream narrow stage at one task
         tables[k].to_parquet(p, index=False, coerce_timestamps="us",
-                             allow_truncated_timestamps=True)
+                             allow_truncated_timestamps=True,
+                             row_group_size=4096)
     return paths
 
 

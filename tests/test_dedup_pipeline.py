@@ -129,6 +129,27 @@ def test_assign_clusters_singletons(spark):
     assert got == {"a": "a", "b": "b", "c": "b"}
 
 
+def test_hot_bucket_salted_path(spark):
+    """A bucket above cap·hot_factor takes the salted aggregate path:
+    edges stay O(n) and the bucket stays one connected component."""
+    from datasketches_java_spark.operators.lsh import candidate_pairs
+
+    rows = ([(f"h{i:03d}", 0, 999) for i in range(100)]       # hot bucket
+            + [(f"n{i}", 1, 5) for i in range(6)])            # normal bucket
+    buckets = spark.createDataFrame(rows, "url string, band int, band_hash long")
+    pairs = candidate_pairs(buckets, "url", bucket_cap=4,
+                            hot_factor=2, n_salts=8)
+    edges = pairs.collect()
+    hot_edges = [e for e in edges if e["id_a"].startswith("h")]
+    # O(n): members→salt-hub (≤100) + hub chain (≤8), NOT 100·99/2
+    assert len(hot_edges) <= 110
+    comp = connected_components(pairs).collect()
+    hot_comps = {r["component"] for r in comp if r["id"].startswith("h")}
+    assert hot_comps == {"h000"}
+    norm_comps = {r["component"] for r in comp if r["id"].startswith("n")}
+    assert norm_comps == {"n0"}
+
+
 def test_suffix_array_matches_naive():
     rng = np.random.default_rng(7)
     for n in (1, 2, 5, 30, 200):
