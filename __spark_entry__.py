@@ -307,6 +307,33 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash candidate pairs (Hamming ≤ 12 on the 64-bit fingerprint)
+    verified by exact Jaccard ≥ 0.8.  SimHash itself is not
+    SQL-expressible → no oracle entry; the driver records the weaker
+    rows-only check (the pairs themselves are a subset of
+    lsh_dup_pairs_documents, which IS oracle-checked)."""
+    from datasketches_java_spark.functions.minhash import hamming64
+    from datasketches_java_spark.functions.text import exact_jaccard
+    from datasketches_java_spark.operators.lsh import add_signatures
+    docs = _read(spark, sf, "documents")
+    sig = add_signatures(docs.select("doc_id", "text"), "text").persist()
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sh_a"),
+                   F.col("shingles").alias("g_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sh_b"),
+                   F.col("shingles").alias("g_b"))
+    return (a.crossJoin(b)
+            .where((F.col("doc_a") < F.col("doc_b"))
+                   & (hamming64("sh_a", "sh_b") <= 12))
+            .withColumn("jaccard", exact_jaccard(F.col("g_a"), F.col("g_b")))
+            .where(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b",
+                    hamming64("sh_a", "sh_b").alias("hamming"))
+            .orderBy("doc_a", "doc_b"))
+
+
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.text import token_count, char_count
     docs = _read(spark, sf, "documents")
@@ -348,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dup_pairs_documents": _q_lsh_dup_pairs_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "text_stats_documents": _q_text_stats_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
     }

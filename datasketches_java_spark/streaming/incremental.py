@@ -75,6 +75,37 @@ def incremental_theta_state(spark: SparkSession, batch: DataFrame,
     return spark.read.parquet(path)
 
 
+def epoch_drift_check(spark: SparkSession, batch: DataFrame, state_dir: str,
+                      col: str, k: int = 200,
+                      p_value: float = 0.01) -> dict:
+    """Kolmogorov–Smirnov drift gate between processing epochs
+    (quantiles/KolmogorovSmirnov.java:38,105 → sketches/kll.ks_test).
+
+    Each call sketches ``col`` for the new batch, compares it against
+    the previous epoch's persisted KLL image, stores the new image,
+    and returns {"drifted": bool, "d": statistic}.  The per-epoch
+    sketch is bounded-size, so the gate costs one KLL aggregation
+    regardless of batch size.
+    """
+    from ..functions.sketch_aggs import kll_sketch_agg
+    from ..sketches.kll import KllDoublesSketch, ks_statistic, ks_test
+
+    path = os.path.join(state_dir, "epoch_kll")
+    img = kll_sketch_agg(batch, col, k=k).first()["kll_sketch"]
+    cur = KllDoublesSketch.from_bytes(bytes(img))
+    result = {"drifted": False, "d": 0.0}
+    marker = os.path.join(path, "image.bin")
+    if os.path.exists(marker):
+        with open(marker, "rb") as f:
+            prev = KllDoublesSketch.from_bytes(f.read())
+        result = {"drifted": ks_test(cur, prev, p_value),
+                  "d": float(ks_statistic(cur, prev))}
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "wb") as f:
+        f.write(cur.to_bytes())
+    return result
+
+
 def incremental_sketch_stream(spark: SparkSession, stream: DataFrame,
                               state_dir: str, col: str, by: list[str],
                               ts_col: str = "ts",

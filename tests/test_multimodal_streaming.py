@@ -135,6 +135,24 @@ def test_delta_new_docs(spark):
     assert delta_new_docs(pages, done, "url").count() == 4
 
 
+def test_epoch_drift_check(spark, tmp_path):
+    from datasketches_java_spark.streaming.incremental import epoch_drift_check
+    rng = np.random.default_rng(11)
+    same1 = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(0, 1, 4000)], "x double")
+    same2 = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(0, 1, 4000)], "x double")
+    shifted = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(3, 1, 4000)], "x double")
+    state = str(tmp_path / "drift")
+    r0 = epoch_drift_check(spark, same1, state, "x")
+    assert r0 == {"drifted": False, "d": 0.0}  # first epoch: no baseline
+    r1 = epoch_drift_check(spark, same2, state, "x")
+    assert not r1["drifted"]
+    r2 = epoch_drift_check(spark, shifted, state, "x")
+    assert r2["drifted"] and r2["d"] > 0.5
+
+
 def test_streaming_sketch_query(spark, tmp_path):
     """Structured Streaming micro-batch path: rate-limited file stream
     of events → windowed theta state; result equals batch answer."""
