@@ -345,6 +345,30 @@ def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _q_embedding_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pair detection (brute-force exact):
+    all pairs with cosine ≥ 0.4.  Same arithmetic shape as the DuckDB
+    oracle (dot/(‖a‖·‖b‖) in double, sequential accumulation) so the
+    predicate agrees bit-for-bit."""
+    emb = _read(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select(F.col("vec_id"), v.alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                           F.lit(0.0), lambda acc, z: acc + z)
+
+    sim = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb"))))
+    return (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+            .where(sim >= 0.4)
+            .select("vec_a", "vec_b")
+            .orderBy("vec_a", "vec_b"))
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k, BLAS path (one matmul per Arrow
     batch); operators.similarity.cosine_topk is the declarative
@@ -378,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_stats_documents": _q_text_stats_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
 
@@ -509,4 +534,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT qid AS query_id, nid AS neighbor_id, rk AS rank
             FROM r WHERE rk <= 5 ORDER BY 1, 3""",
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY 1, 2""",
     }

@@ -118,6 +118,34 @@ def minhash_jaccard(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
     return pd.Series((a == b).mean(axis=1))
 
 
+def winnow_batch(series: pd.Series, window: int = 8) -> list:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) over
+    per-doc k-gram hash sequences: minimum hash of each sliding
+    window, deduplicated — the rolling-hash document fingerprint
+    guaranteeing any shared run of ≥ window k-grams yields a shared
+    fingerprint.  Vectorized via a sliding-window-view min."""
+    out = []
+    for v in series:
+        if v is None or len(v) == 0:
+            out.append([])
+            continue
+        h = np.asarray(v, dtype=np.int64).view(np.uint64)
+        if h.shape[0] <= window:
+            out.append([np.int64(h.min().astype(np.int64))])
+            continue
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        mins = sw.min(axis=1).view(np.int64)
+        out.append(sorted({int(x) for x in mins}))
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprints(kgram_hashes: pd.Series) -> pd.Series:
+    """Winnowing over an (ordered!) k-gram hash array column — feed it
+    shingles in document order, NOT the sorted distinct set."""
+    return pd.Series(winnow_batch(kgram_hashes))
+
+
 def hamming64(a, b):
     """JVM-side Hamming distance between two int64 SimHash columns —
     bit_count of xor, stays inside codegen."""

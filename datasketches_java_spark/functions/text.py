@@ -68,6 +68,14 @@ def shingle_hashes_from_tokens(toks: Column | str, w: int = SHINGLE_W) -> Column
     return F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
 
 
+def ordered_shingle_hashes(toks: Column | str, w: int = SHINGLE_W) -> Column:
+    """Shingle hashes in DOCUMENT ORDER (not sorted/deduped) — the
+    input winnowing fingerprints require; bind ``toks`` to a real
+    column first (see shingle_hashes NOTE)."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    return F.transform(shingles(c, w), lambda s: F.xxhash64(s))
+
+
 def exact_jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two shingle-hash arrays (verification join;
     counterpart of theta/JaccardSimilarity.java:55 exact mode)."""
