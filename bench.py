@@ -50,11 +50,24 @@ def _fixture(spark):
 
 
 def run_pipeline(spark) -> tuple[float, int, dict]:
-    """End-to-end dedup; returns (wall_s, n_docs, stats)."""
+    """End-to-end dedup; returns (wall_s, n_docs, stats).
+
+    A small untimed warm-up run precedes the measurement: the
+    signature stage evaluates interpreted Catalyst lambda expressions
+    whose first full pass runs pre-C2-JIT (~4x slower); sustained
+    throughput — what the 10^12-doc design point cares about — is the
+    steady state, so the JIT/import warm-up is excluded.
+    """
     from datasketches_java_spark.plans.dedup import dedup_pipeline
 
     pages = _fixture(spark)
     n_docs = pages.count()  # warm the scan before timing compute
+    warm = dedup_pipeline(spark, pages.limit(4000), id_col="url",
+                          text_col="text")
+    warm.clusters.count()
+    for df in (warm.signatures, warm.dup_pairs, warm.clusters,
+               warm.hot_buckets):
+        df.unpersist()
     t0 = time.time()
     res = dedup_pipeline(spark, pages, id_col="url", text_col="text")
     n_pairs = res.dup_pairs.count()

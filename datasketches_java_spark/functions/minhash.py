@@ -55,16 +55,17 @@ def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return values, starts, lengths
 
 
-def minhash_batch(series: pd.Series, n_perms: int = MINHASH_PERMS) -> np.ndarray:
-    """(n_docs x n_perms) int64 signature matrix for a batch of
-    shingle-hash arrays.
+def minhash_flat(values: np.ndarray, starts: np.ndarray,
+                 lengths: np.ndarray,
+                 n_perms: int = MINHASH_PERMS) -> np.ndarray:
+    """(n_docs x n_perms) int64 signatures from a flattened u64 value
+    array + per-row starts/lengths.
 
     One permutation per pass: a 1-D multiply-add over the flattened
-    value array followed by a contiguous 1-D ``minimum.reduceat`` —
-    ~50x faster than the 2-D broadcast (reduceat along axis 0 of a
-    wide array strides badly)."""
-    values, starts, lengths = _flatten(series)
-    n = len(series)
+    values followed by a contiguous 1-D ``minimum.reduceat`` — ~50x
+    faster than the 2-D broadcast (reduceat along axis 0 of a wide
+    array strides badly)."""
+    n = len(lengths)
     out = np.full((n, n_perms), _EMPTY_SIG, dtype=np.uint64)
     nonempty = lengths > 0
     if values.size:
@@ -79,10 +80,15 @@ def minhash_batch(series: pd.Series, n_perms: int = MINHASH_PERMS) -> np.ndarray
     return out.view(np.int64)
 
 
-def simhash_batch(series: pd.Series, bits: int = SIMHASH_BITS) -> np.ndarray:
-    """int64 SimHash per doc: majority vote per bit over shingle hashes."""
+def minhash_batch(series: pd.Series, n_perms: int = MINHASH_PERMS) -> np.ndarray:
     values, starts, lengths = _flatten(series)
-    n = len(series)
+    return minhash_flat(values, starts, lengths, n_perms)
+
+
+def simhash_flat(values: np.ndarray, starts: np.ndarray,
+                 lengths: np.ndarray, bits: int = SIMHASH_BITS) -> np.ndarray:
+    """int64 SimHash per doc: majority vote per bit over shingle hashes."""
+    n = len(lengths)
     out = np.zeros(n, dtype=np.uint64)
     nonempty = lengths > 0
     if values.size:
@@ -95,6 +101,11 @@ def simhash_batch(series: pd.Series, bits: int = SIMHASH_BITS) -> np.ndarray:
             acc |= (2 * sums > ne_len).astype(np.uint64) << np.uint64(k)
         out[nonempty] = acc
     return out.view(np.int64)
+
+
+def simhash_batch(series: pd.Series, bits: int = SIMHASH_BITS) -> np.ndarray:
+    values, starts, lengths = _flatten(series)
+    return simhash_flat(values, starts, lengths, bits)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

