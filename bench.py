@@ -96,17 +96,31 @@ def _spark(cores: int):
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # N → 4N evidence (north rule).  4 vs 16 cores on the 32-core
+        # sandbox: each Spark task slot pairs a JVM thread with a
+        # Python worker process, so local[32] would oversubscribe the
+        # box and measure the machine, not the job.  Best-of-2 per
+        # level because the sandbox shows multi-percent CPU steal
+        # bursts (see BENCH.md).
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
         rows = []
-        for cores in (8, 32):
-            spark = _spark(cores)
-            wall, n_docs, _ = run_pipeline(spark)
-            spark.stop()
-            rows.append({"cores": cores, "wall_s": round(wall, 2),
-                         "docs_per_sec": round(n_docs / wall, 1)})
-        eff = rows[1]["docs_per_sec"] / rows[0]["docs_per_sec"] / (32 / 8)
-        print(json.dumps({"metric": "scaling efficiency local[8]->local[32]",
-                          "value": round(eff, 3), "unit": "ratio",
-                          "runs": rows, "n_docs": BENCH_DOCS}))
+        for cores in (lo, hi):
+            best = None
+            for _ in range(reps):
+                spark = _spark(cores)
+                wall, n_docs, _ = run_pipeline(spark)
+                spark.stop()
+                if best is None or wall < best:
+                    best = wall
+            rows.append({"cores": cores, "wall_s": round(best, 2),
+                         "docs_per_sec": round(n_docs / best, 1)})
+        eff = rows[1]["docs_per_sec"] / rows[0]["docs_per_sec"] / (hi / lo)
+        print(json.dumps({
+            "metric": f"scaling efficiency local[{lo}]->local[{hi}]",
+            "value": round(eff, 3), "unit": "ratio",
+            "runs": rows, "n_docs": BENCH_DOCS}))
         return
 
     spark = _spark(CPUS)

@@ -67,7 +67,8 @@ def dedup_pipeline(spark: SparkSession, pages: DataFrame, id_col: str = "url",
 
     sig = stage(
         "01_signatures",
-        lambda: add_signatures(pages.select(id_col, text_col), text_col),
+        lambda: add_signatures(pages.select(id_col, text_col), text_col)
+        .drop(text_col),  # text is dead weight downstream of shingling
         lineage=id_col)
 
     buckets = stage(
