@@ -125,6 +125,38 @@ def _q_theta_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.expr("div(i6, u)").alias("jaccard_micros")))
 
 
+def _q_hll_nations_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL-8 distinct count per region.  At small per-group cardinality
+    the linear-counting range estimator is exact after rounding, so
+    the oracle hash-matches; large-cardinality relative-error bounds
+    are asserted in tests/test_hll.py."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        hll_estimate, hll_sketch_agg)
+    nation = _read(spark, sf, "nation")
+    sk = hll_sketch_agg(nation, "n_nationkey", by=["n_regionkey"])
+    return (sk.select("n_regionkey",
+                      F.round(hll_estimate("hll_sketch")).cast("long")
+                      .alias("distinct_nations"))
+            .orderBy("n_regionkey"))
+
+
+def _q_long_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """Suffix-array pass: longest-common-substring length for every
+    verified near-dup pair (≥256-char runs flagged).  Suffix arrays
+    are not SQL-expressible → rows-only driver check; the algorithm is
+    unit-tested against a naive oracle in tests/test_dedup_pipeline."""
+    from datasketches_java_spark.operators.lsh import lsh_dup_pairs
+    from datasketches_java_spark.operators.suffix_array import (
+        attach_texts, pair_lcs)
+    docs = _read(spark, sf, "documents")
+    pairs = lsh_dup_pairs(docs, id_col="doc_id", text_col="text")
+    out = pair_lcs(attach_texts(pairs.select("id_a", "id_b"), docs, "doc_id"))
+    return (out.select(F.col("id_a").alias("doc_a"),
+                       F.col("id_b").alias("doc_b"),
+                       "lcs_len", "long_dup")
+            .orderBy("doc_a", "doc_b"))
+
+
 def _q_kll_acctbal_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         kll_quantiles, kll_sketch_agg)
@@ -386,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_orderkeys": _q_theta_orderkeys_global,
         "theta_setops_custkey_halves": _q_theta_setops,
         "theta_jaccard_custkey_halves": _q_theta_jaccard,
+        "hll_distinct_nations_by_region": _q_hll_nations_by_region,
+        "long_dup_substrings": _q_long_dup_substrings,
         "kll_quantiles_acctbal_by_nation": _q_kll_acctbal_by_nation,
         "kll_price_stats": _q_kll_price_stats,
         "freq_orderpriority_counts": _q_freq_orderpriority,
@@ -433,6 +467,9 @@ def oracle_sql() -> dict[str, str]:
                  u AS (SELECT count(*) c FROM (SELECT * FROM a UNION SELECT * FROM b))
             SELECT (SELECT c FROM i) * 1000000 // (SELECT c FROM u)
                    AS jaccard_micros""",
+        "hll_distinct_nations_by_region": """
+            SELECT n_regionkey, COUNT(DISTINCT n_nationkey) AS distinct_nations
+            FROM nation GROUP BY 1 ORDER BY 1""",
         "kll_quantiles_acctbal_by_nation": """
             WITH r AS (SELECT c_nationkey, c_acctbal,
                               cume_dist() OVER (PARTITION BY c_nationkey
