@@ -247,23 +247,26 @@ def _q_theta_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
 def _q_tuple_spend_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Attributed distinct: per nation, distinct ordering customers AND
     their total spend (cents) from ONE tuple sketch — summary algebra
-    rides with the retained keys (tuple/UpdatableSketch.java:40)."""
+    rides with the retained keys (tuple/UpdatableSketch.java:40).
+    Cents are LongType JVM-side and int64 inside the sketch, so the
+    total is integer arithmetic end-to-end — no float exists for any
+    engine/driver canonicalization to diverge on."""
     from datasketches_java_spark.functions.sketch_aggs import (
-        tuple_estimate, tuple_sketch_agg, tuple_sum_value)
+        tuple_estimate, tuple_sketch_agg, tuple_sum_value_long)
     orders = _read(spark, sf, "orders")
     cust = _read(spark, sf, "customer").select("c_custkey", "c_nationkey")
     joined = (orders.join(F.broadcast(cust),
                           orders.o_custkey == cust.c_custkey)
               .withColumn("cents", F.round(F.col("o_totalprice") * 100)
-                          .cast("double")))
+                          .cast("long")))
     sk = tuple_sketch_agg(joined, "o_custkey", ["cents"],
-                          by=["c_nationkey"], lg_k=12, mode="Sum")
+                          by=["c_nationkey"], lg_k=12, mode="Sum",
+                          values_dtype="long")
     return (sk.select(
         "c_nationkey",
         F.round(tuple_estimate("tuple_sketch")).cast("long")
         .alias("distinct_customers"),
-        F.round(tuple_sum_value(0)("tuple_sketch")).cast("long")
-        .alias("spend_cents"))
+        tuple_sum_value_long(0)("tuple_sketch").alias("spend_cents"))
         .orderBy("c_nationkey"))
 
 

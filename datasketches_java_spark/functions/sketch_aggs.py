@@ -284,16 +284,24 @@ def tuple_sketch_agg(df: DataFrame, key_col: str, value_cols: list[str],
                      by: list[str] | None = None,
                      lg_k: int = DEFAULT_LG_K,
                      seed: int = DEFAULT_UPDATE_SEED,
-                     mode: str = "Sum") -> DataFrame:
+                     mode: str = "Sum",
+                     values_dtype: str = "double") -> DataFrame:
     """groupBy(by).agg(tuple_sketch(key, values)) — distinct keys with
-    per-key summary algebra (tuple/UpdatableSketch.java:40)."""
+    per-key summary algebra (tuple/UpdatableSketch.java:40).
+
+    ``values_dtype="long"`` carries int64 summaries end-to-end
+    (IntegerSummary counterpart): integer totals never touch a float,
+    so exact-mode sums are order/partition deterministic.
+    """
     from ..sketches import tuple as tpl
     by = by or []
+    np_dtype = np.int64 if values_dtype == "long" else np.float64
 
     def build(grp: pd.DataFrame) -> bytes:
         keys = grp[key_col].to_numpy().astype(np.int64)
-        vals = grp[list(value_cols)].to_numpy().astype(np.float64)
-        return tpl.sketch_keyed_values(keys, vals, lg_k, seed, mode).to_bytes()
+        vals = grp[list(value_cols)].to_numpy().astype(np_dtype)
+        return tpl.sketch_keyed_values(
+            keys, vals, lg_k, seed, mode, values_dtype=np_dtype).to_bytes()
 
     def merge(imgs: list[bytes]) -> bytes:
         return tpl.union_many(
@@ -317,6 +325,30 @@ def tuple_sum_value(dim: int = 0) -> Callable:
         return images.map(
             lambda b: float(TupleSketch.from_bytes(b).sum_values()[dim]))
     return s
+
+
+def tuple_sum_value_long(dim: int = 0) -> Callable:
+    """Σ of summary dimension ``dim`` as LongType.  With int64 summaries
+    in exact mode the sum is computed in int64 end-to-end (no float
+    representation exists anywhere for the value to canonicalize
+    differently); estimation-mode results round the unbiased float."""
+    @F.pandas_udf(T.LongType())
+    def s(images: pd.Series) -> pd.Series:
+        from ..sketches.tuple import TupleSketch
+        return images.map(
+            lambda b: int(round(TupleSketch.from_bytes(b).sum_values()[dim])))
+    return s
+
+
+@F.pandas_udf(T.DoubleType())
+def tuple_jaccard_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaccard estimate of two tuple-sketch images
+    (tuple/JaccardSimilarity.java:41)."""
+    from ..sketches import tuple as tpl
+    return pd.Series([
+        tpl.jaccard(tpl.TupleSketch.from_bytes(x),
+                    tpl.TupleSketch.from_bytes(y))[1]
+        for x, y in zip(a, b)])
 
 
 def fdt_topk(df: DataFrame, primary_cols: list[str], rest_col: str,

@@ -28,9 +28,15 @@ from .theta import MAX_THETA, ThetaSketch, compute_seed_hash
 
 _FAMILY_TUPLE = 9
 _SER_VER = 1
-_HDR = struct.Struct("<BBBBHHQIH2x")  # fam, ver, flags, lgK, seedHash, nDims, theta, count, mode
+# fam, ver, flags, lgK, seedHash, nDims, theta, count, mode, dtypeCode
+# (dtypeCode occupies what was a pad byte in round-1 images: 0 = float64,
+#  1 = int64 — old images decode as float64 unchanged)
+_HDR = struct.Struct("<BBBBHHQIHBx")
 _MODES = {"Sum": 0, "Min": 1, "Max": 2, "AlwaysOne": 3}
 _MODES_INV = {v: k for k, v in _MODES.items()}
+_DTYPES = {0: np.float64, 1: np.int64}
+_DTYPE_CODES = {np.dtype(np.float64): 0, np.dtype(np.int64): 1}
+_DTYPE_FMT = {0: "<f8", 1: "<i8"}
 
 
 def _combine(mode: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -61,7 +67,13 @@ class TupleSketch:
 
     def sum_values(self) -> np.ndarray:
         """Σ summaries over retained keys, scaled by 1/theta-fraction —
-        the unbiased total over ALL distinct keys."""
+        the unbiased total over ALL distinct keys.
+
+        Exact mode with int64 summaries sums in int64 end-to-end (no
+        float path), so integer-valued totals are deterministic
+        regardless of partition/merge order."""
+        if self.theta == MAX_THETA:
+            return self.values.sum(axis=0)  # exact; preserves dtype
         scale = 1.0 / (float(self.theta) / float(MAX_THETA))
         return self.values.sum(axis=0) * scale
 
@@ -80,43 +92,52 @@ class TupleSketch:
     def to_bytes(self) -> bytes:
         n_dims = self.values.shape[1] if self.values.size else (
             self.values.shape[1] if self.values.ndim == 2 else 0)
+        dcode = _DTYPE_CODES[self.values.dtype]
         hdr = _HDR.pack(_FAMILY_TUPLE, _SER_VER, 0, self.lg_k, self.seed_hash,
-                        n_dims, int(self.theta), self.count, _MODES[self.mode])
+                        n_dims, int(self.theta), self.count, _MODES[self.mode],
+                        dcode)
         return (hdr + self.hashes.astype("<u8").tobytes()
-                + self.values.astype("<f8").tobytes())
+                + self.values.astype(_DTYPE_FMT[dcode]).tobytes())
 
     @staticmethod
     def from_bytes(buf: bytes) -> "TupleSketch":
-        fam, ver, _f, lg_k, sh, n_dims, theta, count, mode = _HDR.unpack_from(buf)
+        fam, ver, _f, lg_k, sh, n_dims, theta, count, mode, dcode = \
+            _HDR.unpack_from(buf)
         if fam != _FAMILY_TUPLE or ver != _SER_VER:
             raise ValueError("bad tuple sketch image")
         off = _HDR.size
         hashes = np.frombuffer(buf, dtype="<u8", count=count, offset=off).copy()
         off += count * 8
-        values = np.frombuffer(buf, dtype="<f8", count=count * n_dims,
+        values = np.frombuffer(buf, dtype=_DTYPE_FMT[dcode],
+                               count=count * n_dims,
                                offset=off).reshape(count, n_dims).copy()
         return TupleSketch(lg_k, sh, np.uint64(theta), hashes, values,
                            _MODES_INV[mode])
 
 
 def empty(lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_UPDATE_SEED,
-          n_dims: int = 1, mode: str = "Sum") -> TupleSketch:
+          n_dims: int = 1, mode: str = "Sum",
+          values_dtype=np.float64) -> TupleSketch:
     return TupleSketch(lg_k, compute_seed_hash(seed), MAX_THETA,
-                       np.empty(0, np.uint64), np.empty((0, n_dims)), mode)
+                       np.empty(0, np.uint64),
+                       np.empty((0, n_dims), dtype=values_dtype), mode)
 
 
 def sketch_keyed_values(keys: np.ndarray, values: np.ndarray,
                         lg_k: int = DEFAULT_LG_K,
                         seed: int = DEFAULT_UPDATE_SEED,
-                        mode: str = "Sum") -> TupleSketch:
+                        mode: str = "Sum",
+                        values_dtype=np.float64) -> TupleSketch:
     """Batch build: update(key_i, values_i) for every row
     (tuple/UpdatableSketch.java:100-157, vectorized).
 
     Duplicate keys combine by ``mode`` BEFORE the k-cut — the
     reference applies the summary combiner on every colliding update.
+    ``values_dtype=np.int64`` keeps integer summaries (e.g. cents)
+    exact end-to-end — no float path anywhere.
     """
     keys = np.asarray(keys, dtype=np.int64)
-    values = np.asarray(values, dtype=np.float64)
+    values = np.asarray(values, dtype=values_dtype)
     if values.ndim == 1:
         values = values[:, None]
     h = theta_hash_u64(keys, seed)
@@ -131,7 +152,8 @@ def sketch_keyed_values(keys: np.ndarray, values: np.ndarray,
     elif mode == "Max":
         combined = np.maximum.reduceat(values, start, axis=0)
     else:
-        combined = np.ones((uniq.shape[0], values.shape[1]))
+        combined = np.ones((uniq.shape[0], values.shape[1]),
+                           dtype=values.dtype)
     k = 1 << lg_k
     theta = MAX_THETA
     if uniq.shape[0] > k:
@@ -203,6 +225,44 @@ def a_not_b(a: TupleSketch, b: TupleSketch) -> TupleSketch:
     keep = ~np.isin(ah, b.hashes[b.hashes < theta], assume_unique=True)
     return TupleSketch(min(a.lg_k, b.lg_k), a.seed_hash, np.uint64(theta),
                        ah[keep], av[keep], a.mode)
+
+
+def _theta_view(s) -> ThetaSketch:
+    """TupleSketch or ThetaSketch → theta view of the shared hash space."""
+    return s.as_theta() if isinstance(s, TupleSketch) else s
+
+
+def jaccard(a, b, num_std_dev: int = 2) -> tuple[float, float, float]:
+    """(lower, estimate, upper) Jaccard over tuple and/or theta sketches.
+
+    Direct counterpart of tuple/JaccardSimilarity.java:41 (tuple×tuple)
+    and :62,126 (tuple×theta mixed forms): summaries are irrelevant to
+    set similarity, so both operands project to the shared theta hash
+    space and reuse the theta estimator + CI.
+    """
+    from . import theta as _theta
+    return _theta.jaccard(_theta_view(a), _theta_view(b), num_std_dev)
+
+
+def exactly_equal(a, b) -> bool:
+    """Identity test on retained keys (tuple/JaccardSimilarity.java:106
+    analogue for tuple operands)."""
+    from . import theta as _theta
+    return _theta.exactly_equal(_theta_view(a), _theta_view(b))
+
+
+def similarity_test(a, b, threshold: float) -> bool:
+    """True iff the Jaccard lower bound ≥ threshold
+    (tuple/JaccardSimilarity.java:148 analogue)."""
+    lb, _, _ = jaccard(a, b)
+    return lb >= threshold
+
+
+def dissimilarity_test(a, b, threshold: float) -> bool:
+    """True iff the Jaccard upper bound ≤ threshold
+    (tuple/JaccardSimilarity.java:170 analogue)."""
+    _, _, ub = jaccard(a, b)
+    return ub <= threshold
 
 
 def fdt_estimate(keys_primary, keys_rest, lg_k: int = DEFAULT_LG_K,

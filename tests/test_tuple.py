@@ -117,3 +117,50 @@ def test_fdt_topk_spark(spark):
     got = [(r["p"], r["distinct_rest"]) for r in
            fdt_topk(df, ["p"], "r", k=3).collect()]
     assert got == [("a", 50), ("b", 20), ("c", 1)]
+
+
+def test_int64_summaries_exact_and_order_insensitive():
+    """int64 Sum-mode summaries stay integer end-to-end (the driver's
+    tuple_spend_by_nation contract): any chunking/merge order yields
+    the bit-identical int64 total."""
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2000, 10_000)
+    cents = rng.integers(1, 10_000_000, 10_000)
+    want = {}
+    for k, c in zip(keys, cents):
+        want[k] = want.get(k, 0) + int(c)
+    total = sum(want.values())
+    chunks = [tpl.sketch_keyed_values(keys[i::5], cents[i::5], lg_k=12,
+                                      values_dtype=np.int64)
+              for i in range(5)]
+    for order in ([0, 1, 2, 3, 4], [4, 2, 0, 3, 1]):
+        u = tpl.union_many([chunks[i] for i in order])
+        assert u.values.dtype == np.int64
+        assert int(u.sum_values()[0]) == total
+    rt = tpl.TupleSketch.from_bytes(tpl.union_many(chunks).to_bytes())
+    assert rt.values.dtype == np.int64
+    assert int(rt.sum_values()[0]) == total
+
+
+def test_tuple_jaccard_api():
+    """Direct tuple Jaccard + tuple×theta mixed forms
+    (tuple/JaccardSimilarity.java:41,62,126 thresholds)."""
+    from datasketches_java_spark.sketches import theta
+    k = 1 << 12
+    a = tpl.sketch_keyed_values(np.arange(k), np.ones(k), lg_k=12)
+    b = tpl.sketch_keyed_values(np.arange(k), np.ones(k) * 7, lg_k=12)
+    lb, est, ub = tpl.jaccard(a, b)
+    assert est > 0.9999 and tpl.exactly_equal(a, b)
+    assert tpl.similarity_test(a, b, 0.9999)
+    # one-element difference is detected at k=4096 (reference test shape)
+    c = tpl.sketch_keyed_values(np.arange(1, k + 1), np.ones(k), lg_k=12)
+    assert not tpl.exactly_equal(a, c)
+    _, est_ac, _ = tpl.jaccard(a, c)
+    assert est_ac < 1.0
+    # tuple × theta mixed operands share the hash space
+    th = theta.sketch_longs(np.arange(k), 12)
+    _, est_mixed, _ = tpl.jaccard(a, th)
+    assert est_mixed > 0.9999
+    assert tpl.dissimilarity_test(
+        a, tpl.sketch_keyed_values(np.arange(k, 2 * k), np.ones(k), lg_k=12),
+        0.05)
