@@ -30,29 +30,39 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
-    minimum of N(u) ∪ {u}."""
+    minimum of N(u) ∪ {u}.
+
+    Aggregate-only formulation: ``mn`` comes from a plain
+    ``groupBy(src).agg(min(dst))`` (map-side combinable, constant-size
+    buffer) and is joined back to the edge list — no row ever holds a
+    neighbor array, so a mega-degree hub (the salted LSH path's global
+    hub for a 1e6-page template bucket) costs O(degree) rows spread
+    across tasks instead of one multi-GB aggregation buffer."""
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    m = (sym.groupBy("src")
-         .agg(F.collect_set("dst").alias("nbrs")))
-    m = m.withColumn("mn", F.least(F.col("src"), F.array_min("nbrs")))
-    out = m.select(
-        F.explode(F.filter("nbrs", lambda v: v > F.col("src"))).alias("src"),
-        F.col("mn").alias("dst"))
+    # the agg side goes through toDF so its attributes get fresh ids —
+    # the self-join over a shared union subtree otherwise trips
+    # Catalyst's resolver ("key not found" during optimization)
+    mins = (sym.toDF("_u", "_d").groupBy("_u").agg(F.min("_d").alias("_mnb"))
+            .select("_u", F.least(F.col("_u"), F.col("_mnb")).alias("mn")))
+    out = (sym.join(mins, sym["src"] == mins["_u"])
+           .where(F.col("dst") > F.col("src"))
+           .select(F.col("dst").alias("src"), F.col("mn").alias("dst")))
     return out.where(F.col("src") != F.col("dst"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges to the larger endpoint; connect all smaller
-    neighbors (and self) to the minimum."""
+    neighbors (and self) to the minimum.  Same aggregate+join shape as
+    ``_large_star`` — no neighbor arrays."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
-    m = (oriented.groupBy("src")
-         .agg(F.collect_set("dst").alias("nbrs")))
-    m = m.withColumn("mn", F.array_min("nbrs"))
-    out = m.select(
-        F.explode(F.array_union("nbrs", F.array("src"))).alias("src"),
-        F.col("mn").alias("dst"))
+    mins = (oriented.toDF("_u", "_d").groupBy("_u")
+            .agg(F.min("_d").alias("mn")))
+    nbr_edges = (oriented.join(mins, oriented["src"] == mins["_u"])
+                 .select(F.col("dst").alias("src"), F.col("mn").alias("dst")))
+    self_edges = mins.select(F.col("_u").alias("src"), F.col("mn").alias("dst"))
+    out = nbr_edges.unionAll(self_edges)
     return out.where(F.col("src") != F.col("dst"))
 
 
@@ -75,7 +85,14 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
 
     fp = fingerprint(e)
     for _ in range(max_iterations):
-        e2 = _canonical(_small_star(_large_star(e))).localCheckpoint()
+        # the intermediate checkpoint between the two star ops both cuts
+        # plan growth and sidesteps a Catalyst resolver failure ("key
+        # not found" during optimization) on the nested self-join over a
+        # shared union subtree that the composed plan otherwise forms
+        # lazy: the large-star RDD materializes inside e2's job (one job
+        # per round), while the logical plan is cut immediately
+        ls = _large_star(e).localCheckpoint(eager=False)
+        e2 = _canonical(_small_star(ls)).localCheckpoint()
         fp2 = fingerprint(e2)
         e = e2
         if fp2 == fp:

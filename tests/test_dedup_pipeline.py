@@ -177,3 +177,19 @@ def test_pipeline_lcs_stage(spark):
     assert {"lcs_len", "long_dup"} <= cols
     # near-identical docs share long runs
     assert res.dup_pairs.filter("long_dup").count() > 0
+
+
+def test_connected_components_mega_hub(spark):
+    """A 100k-degree hub (the salted-LSH global-hub shape) must resolve
+    without any row materializing the full neighbor list — the star
+    ops are aggregate+join only (no collect_set)."""
+    n = 100_000
+    hub_edges = spark.range(1, n + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b"))
+    # plus a side chain that merges into the hub component via one link
+    chain = spark.createDataFrame(
+        [(n + 1, n + 2), (n + 2, n + 3), (n + 3, 5)], "id_a long, id_b long")
+    comp = connected_components(hub_edges.unionByName(chain))
+    got = {r["id"]: r["component"] for r in comp.collect()}
+    assert len(got) == n + 4
+    assert set(got.values()) == {0}
