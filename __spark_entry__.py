@@ -322,20 +322,30 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Word-trigram Jaccard ≥ 0.6 over ALL pairs — the brute-force
-    baseline the LSH path approximates (distinct op: no banding, no
-    candidate pruning)."""
+    """Word-trigram Jaccard ≥ 0.6 via the inverted-index join (the
+    same plan shape the DuckDB oracle uses): explode distinct grams,
+    self-equi-join on gram → |∩| per pair, sizes from a pre-agg.
+    Only pairs sharing ≥ 1 gram are ever materialized — no cartesian
+    (a 0.6-Jaccard pair always shares grams, so the result is
+    identical to the all-pairs scan)."""
     from datasketches_java_spark.functions.text import shingles, tokens
     docs = _read(spark, sf, "documents")
     g = docs.select(
         "doc_id",
         F.array_distinct(shingles(tokens("text"), w=3)).alias("grams"))
-    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
-    uni = F.size(F.array_union("ga", "gb")).cast("long")
-    return (a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", inter.alias("i"), uni.alias("u"))
+    sz = g.select("doc_id", F.size("grams").cast("long").alias("c"))
+    ex = g.select("doc_id", F.explode("grams").alias("s"))
+    inter = (ex.alias("a").join(ex.alias("b"), on="s")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    return (inter
+            .join(sz.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("c", "ca"), on="doc_a")
+            .join(sz.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("c", "cb"), on="doc_b")
+            .withColumn("u", F.col("ca") + F.col("cb") - F.col("i"))
             .where(F.col("i") * 5 >= F.col("u") * 3)
             .select("doc_a", "doc_b",
                     F.expr("div(i * 1000000, u)").alias("jaccard_micros"))
@@ -344,29 +354,30 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash candidate pairs (Hamming ≤ 12 on the 64-bit fingerprint)
-    verified by exact Jaccard ≥ 0.8.  SimHash itself is not
+    verified by exact Jaccard ≥ 0.8.  The Hamming ball is found with
+    the LOSSLESS 13-band pigeonhole equi-join (any pair at distance
+    ≤ 12 agrees on ≥ 1 of 13 bit-bands) — same rows as an all-pairs
+    scan, no CartesianProduct in the plan.  SimHash itself is not
     SQL-expressible → no oracle entry; the driver records the weaker
     rows-only check (the pairs themselves are a subset of
     lsh_dup_pairs_documents, which IS oracle-checked)."""
-    from datasketches_java_spark.functions.minhash import hamming64
     from datasketches_java_spark.functions.text import exact_jaccard
-    from datasketches_java_spark.operators.lsh import add_signatures
+    from datasketches_java_spark.operators.lsh import (
+        add_signatures, simhash_hamming_pairs)
     docs = _read(spark, sf, "documents")
     sig = add_signatures(docs.select("doc_id", "text"), "text").persist()
-    a = sig.select(F.col("doc_id").alias("doc_a"),
-                   F.col("simhash").alias("sh_a"),
-                   F.col("shingles").alias("g_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"),
-                   F.col("simhash").alias("sh_b"),
-                   F.col("shingles").alias("g_b"))
-    return (a.crossJoin(b)
-            .where((F.col("doc_a") < F.col("doc_b"))
-                   & (hamming64("sh_a", "sh_b") <= 12))
-            .withColumn("jaccard", exact_jaccard(F.col("g_a"), F.col("g_b")))
-            .where(F.col("jaccard") >= 0.8)
-            .select("doc_a", "doc_b",
-                    hamming64("sh_a", "sh_b").alias("hamming"))
-            .orderBy("doc_a", "doc_b"))
+    pairs = simhash_hamming_pairs(sig, "doc_id", max_hamming=12)
+    sh = sig.select("doc_id", "shingles")
+    out = (pairs
+           .join(sh.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("shingles", "g_a"), on="id_a")
+           .join(sh.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("shingles", "g_b"), on="id_b")
+           .where(exact_jaccard(F.col("g_a"), F.col("g_b")) >= 0.8)
+           .select(F.col("id_a").alias("doc_a"),
+                   F.col("id_b").alias("doc_b"), "hamming")
+           .orderBy("doc_a", "doc_b"))
+    return out
 
 
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -381,26 +392,22 @@ def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_embedding_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pair detection (brute-force exact):
-    all pairs with cosine ≥ 0.4.  Same arithmetic shape as the DuckDB
-    oracle (dot/(‖a‖·‖b‖) in double, sequential accumulation) so the
-    predicate agrees bit-for-bit."""
+    """Embedding-cosine near-dup pair detection (EXACT, all pairs with
+    cosine ≥ 0.4) via the distributed block-matmul operator: rows hash
+    into blocks, each (bi ≤ bj) block pair is one float64 BLAS matmul
+    in a cogrouped applyInPandas — O(n·B) shuffle rows, no
+    CartesianProduct node.  A low-threshold all-pairs op is inherently
+    O(n²·d) flops; organizing them as BLAS block products is the shape
+    that survives scale (LSH cannot prune reliably at cosine 0.4 —
+    operators.similarity.simhash_ann_buckets covers the
+    high-similarity ANN regime, see ann_cosine_topk_lsh)."""
+    from datasketches_java_spark.operators.similarity import (
+        cosine_pairs_blocked)
     emb = _read(spark, sf, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = emb.select(F.col("vec_id"), v.alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
-                           F.lit(0.0), lambda acc, z: acc + z)
-
-    sim = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb"))))
-    return (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-            .where(sim >= 0.4)
-            .select("vec_a", "vec_b")
+    return (cosine_pairs_blocked(emb, id_col="vec_id", vec_col="embedding",
+                                 threshold=0.4, n_blocks=8)
+            .select(F.col("id_a").alias("vec_a"),
+                    F.col("id_b").alias("vec_b"))
             .orderBy("vec_a", "vec_b"))
 
 
@@ -413,6 +420,54 @@ def _q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_blas(queries, emb, id_col="vec_id",
                             vec_col="embedding", k=5).orderBy("query_id", "rank")
+
+
+def _q_ann_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets: scoring is
+    restricted to same-bucket candidates (equi-join on the 8-bit
+    signature — the scale path for high-similarity regimes).  The
+    oracle replicates the SAME deterministic hyperplanes as SQL
+    literals, so the bucketed semantics are value-checked end-to-end,
+    not just row-counted."""
+    from datasketches_java_spark.operators.similarity import (
+        simhash_ann_buckets)
+    emb = _read(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return (simhash_ann_buckets(queries_df, emb, id_col="vec_id",
+                                vec_col="embedding", k=5, bits=8)
+            .orderBy("query_id", "rank"))
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB oracle for ann_cosine_topk_lsh: the 8×64 gaussian
+    hyperplanes from the engine's deterministic seed are embedded as
+    SQL literals; bucket = sign-bit pattern, then same-bucket top-k."""
+    import numpy as np
+    rng = np.random.default_rng(9001)
+    planes = rng.standard_normal((8, 64))
+    terms = []
+    for i, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)")
+    bucket = "\n             + ".join(terms)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id qid, v qv, bucket FROM b WHERE vec_id < 10),
+        s AS (SELECT qid, b.vec_id nid,
+                     list_dot_product(qv, b.v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(b.v, b.v))) sim
+              FROM q JOIN b USING (bucket) WHERE b.vec_id != qid),
+        r AS (SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, nid) rk
+              FROM s)
+        SELECT qid AS query_id, nid AS neighbor_id, rk AS rank
+        FROM r WHERE rk <= 5 ORDER BY 1, 3"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -439,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_stats_documents": _q_text_stats_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
@@ -574,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT qid AS query_id, nid AS neighbor_id, rk AS rank
             FROM r WHERE rk <= 5 ORDER BY 1, 3""",
+        "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -187,6 +187,63 @@ def candidate_pairs(buckets: DataFrame, id_col: str,
             .unionByName(hot_member).unionByName(hub_chain).distinct())
 
 
+def simhash_band_buckets(df: DataFrame, id_col: str,
+                         simhash_col: str = "simhash",
+                         max_hamming: int = 12) -> DataFrame:
+    """Explode a 64-bit SimHash into (id, band, band_bits) bucket keys.
+
+    The fingerprint is split into ``max_hamming + 1`` contiguous bit
+    bands (12 + 1 = 13 bands of ~5 bits for the default).  Pigeonhole:
+    two fingerprints within Hamming distance ``max_hamming`` differ in
+    at most ``max_hamming`` bands, so they agree exactly on at least
+    one band — banding is a lossless candidate generator for the
+    Hamming ball, unlike MinHash banding which is probabilistic.
+    Pure Catalyst (shift/mask), whole-stage codegen.
+    """
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    sizes = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(sizes[:b]) for b in range(n_bands)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(simhash_col), offsets[b])
+            .bitwiseAND(F.lit((1 << sizes[b]) - 1)).alias("band_bits"))
+        for b in range(n_bands)])
+    return (df.select(F.col(id_col), F.explode(bands).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.band_bits").alias("band_bits")))
+
+
+def simhash_hamming_pairs(sig: DataFrame, id_col: str,
+                          simhash_col: str = "simhash",
+                          max_hamming: int = 12) -> DataFrame:
+    """All pairs within ``max_hamming`` of each other on the 64-bit
+    SimHash — EXACT result via the lossless band equi-join (no
+    CartesianProduct node; one shuffle on (band, band_bits) plus the
+    verification join).  Output: id_a, id_b, hamming.
+    """
+    from ..functions.minhash import hamming64
+
+    buckets = simhash_band_buckets(sig, id_col, simhash_col, max_hamming)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, on=["band", "band_bits"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    sh = sig.select(F.col(id_col), F.col(simhash_col))
+    joined = (cand
+              .join(sh.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed(simhash_col, "sh_a"), on="id_a")
+              .join(sh.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed(simhash_col, "sh_b"), on="id_b"))
+    return (joined
+            .withColumn("hamming", hamming64("sh_a", "sh_b"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def hot_buckets(buckets: DataFrame, min_size: int = LSH_BUCKET_CAP) -> DataFrame:
     """Buckets exceeding the cap — the skew metric the checkpoint
     lineage records (frequent-items use case, SURVEY.md §2.5)."""

@@ -95,9 +95,15 @@ def cosine_topk_blas(queries: DataFrame, corpus: DataFrame, id_col: str,
             ids = pdf[id_col].to_numpy()
             rows = []
             top = min(k + 1, sims.shape[0])      # +1 allows self removal
-            sel = np.argpartition(-sims, top - 1, axis=0)[:top]
             for j, qid in enumerate(qids):
-                for i in sel[:, j]:
+                # local cut under the SAME total order as the global
+                # window (sim desc, id asc): with a strict total order,
+                # anything outside the local top-(k+1) has ≥ k+1 batch
+                # candidates ahead of it globally too, so ties at the
+                # k-th similarity can never be cut wrongly
+                # (argpartition's arbitrary tie order could)
+                sel = np.lexsort((ids, -sims[:, j]))[:top]
+                for i in sel:
                     if ids[i] != qid:
                         rows.append((int(qid), int(ids[i]), float(sims[i, j])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
@@ -107,6 +113,67 @@ def cosine_topk_blas(queries: DataFrame, corpus: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
+                         threshold: float, n_blocks: int = 16) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold as a distributed block
+    matmul — the scalable shape of the brute-force baseline.
+
+    All-pairs at a low threshold is inherently O(n²·d) flops (LSH
+    cannot prune reliably below ~0.7 cosine), so the right plan is to
+    organize those flops as BLAS: rows are hashed into ``n_blocks``
+    groups, each row is replicated to the block *pairs* it belongs to
+    via explode(sequence(...)) — O(n·B) shuffled rows, no
+    CartesianProduct node, no per-row join — and each (bi ≤ bj) block
+    pair is scored with one float64 matmul inside a cogrouped
+    applyInPandas.  Memory per task is two blocks (~n/B rows each);
+    pick n_blocks so a block fits executor memory and B(B+1)/2 tasks
+    saturate the cluster.  Output: id_a < id_b, sim.
+    """
+    id_type = df.schema[id_col].dataType
+    e = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"))
+    # one tagged frame instead of a cogroup: side 0 = the row's own
+    # block paired with every ≥ block, side 1 = paired with every ≤
+    # block (a Spark 4 ColumnPruning defect strips the cogroup's right
+    # child to its grouping keys when a projection sits on top; the
+    # single grouped-map is equivalent and one shuffle either way)
+    left = e.select(
+        "_id", "_v", F.lit(0).alias("side"), F.col("_blk").alias("bi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("bj"))
+    right = e.select(
+        "_id", "_v", F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("bi"),
+        F.col("_blk").alias("bj"))
+    tagged = left.unionByName(right)
+
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type), T.StructField("id_b", id_type),
+        T.StructField("sim", T.DoubleType())])
+    thr = float(threshold)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "sim"])
+        A = np.array(list(lpdf["_v"]), dtype=np.float64)
+        Bm = np.array(list(rpdf["_v"]), dtype=np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(Bm, axis=1)
+        sims = (A @ Bm.T) / np.maximum(na[:, None] * nb[None, :], 1e-300)
+        ia, ib = np.nonzero(sims >= thr)
+        la = lpdf["_id"].to_numpy()[ia]
+        lb = rpdf["_id"].to_numpy()[ib]
+        keep = la < lb if key[0] == key[1] else la != lb
+        lo = np.minimum(la[keep], lb[keep])
+        hi = np.maximum(la[keep], lb[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "sim": sims[ia[keep], ib[keep]]})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(score, out_schema)
 
 
 def embedding_simhash(df: DataFrame, vec_col: str, bits: int = 16,
