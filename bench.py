@@ -65,14 +65,13 @@ def run_pipeline(spark) -> tuple[float, int, dict]:
     warm = dedup_pipeline(spark, pages.limit(4000), id_col="url",
                           text_col="text")
     warm.clusters.count()
-    for df in (warm.signatures, warm.dup_pairs, warm.clusters,
-               warm.hot_buckets):
-        df.unpersist()
+    warm.unpersist()
     t0 = time.time()
     res = dedup_pipeline(spark, pages, id_col="url", text_col="text")
     n_pairs = res.dup_pairs.count()
     n_clustered = res.clusters.filter("url != cluster_id").count()
     wall = time.time() - t0
+    res.unpersist()
     return wall, n_docs, {"dup_pairs": n_pairs, "clustered_docs": n_clustered}
 
 
@@ -131,7 +130,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "docs/sec (signature+LSH+cluster end-to-end)",
         "value": round(n_docs / wall, 1),
-        "unit": "sec",
+        "unit": "docs/sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": {"n_docs": n_docs, "wall_s": round(wall, 2), **stats},

@@ -150,9 +150,12 @@ def candidate_pairs(buckets: DataFrame, id_col: str,
 
     # -- normal path: capped dense pairs + overflow star --
     w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
-    # persisted: consumed three times (dense pairs x2 via self-join,
-    # hub, overflow) — one window pass instead of three
-    ranked = normal.withColumn("rn", F.row_number().over(w)).persist()
+    # lazily local-checkpointed: consumed four times (dense pairs x2 via
+    # self-join, hub, overflow) — one window pass instead of four, and
+    # unlike .persist() the blocks' lifetime is tied to the result
+    # DataFrame (no CacheManager entry leaking across a long session)
+    ranked = normal.withColumn("rn", F.row_number().over(w)) \
+        .localCheckpoint(eager=False)
 
     capped = ranked.filter(F.col("rn") <= bucket_cap)
     a, b = capped.alias("a"), capped.alias("b")
@@ -274,7 +277,8 @@ def lsh_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                   bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """End-to-end near-dup pair detection: signatures → bands →
     candidates → verified (id_a, id_b, jaccard)."""
-    sig = add_signatures(df.select(id_col, text_col), text_col).persist()
+    sig = add_signatures(df.select(id_col, text_col), text_col) \
+        .localCheckpoint(eager=False)
     buckets = band_buckets(sig, id_col)
     pairs = candidate_pairs(buckets, id_col, bucket_cap)
     return verify_pairs(pairs, sig, id_col, threshold=threshold)

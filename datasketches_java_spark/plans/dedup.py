@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DUP_JACCARD_THRESHOLD, LSH_BUCKET_CAP
 from ..operators.checkpoint import CheckpointStore
-from ..operators.connected_components import assign_clusters
+from ..operators.connected_components import assign_clusters, connected_components
 from ..operators.lsh import (
     add_signatures,
     band_buckets,
@@ -37,6 +37,16 @@ class DedupResult:
     dup_pairs: DataFrame      # id_a, id_b, jaccard
     clusters: DataFrame       # id, cluster_id
     hot_buckets: DataFrame    # band, band_hash, bucket_size
+
+    def unpersist(self) -> None:
+        """Release every cached stage (long-lived sessions running many
+        pipelines would otherwise accumulate CacheManager entries)."""
+        for df in (self.signatures, self.dup_pairs, self.clusters,
+                   self.hot_buckets):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def dedup_pipeline(spark: SparkSession, pages: DataFrame, id_col: str = "url",
@@ -65,14 +75,28 @@ def dedup_pipeline(spark: SparkSession, pages: DataFrame, id_col: str = "url",
         # whole upstream chain
         return build().persist()
 
-    sig = stage(
-        "01_signatures",
-        lambda: add_signatures(pages.select(id_col, text_col), text_col)
-        .drop(text_col),  # text is dead weight downstream of shingling
-        lineage=id_col)
+    # Dense int64 surrogate key for string ids (urls): every banding /
+    # candidate / verification / clustering shuffle carries 8-byte sids
+    # instead of ~45-char url strings (~5x less shuffle payload on the
+    # dominant 32x band explode).  The sid is minted INSIDE the
+    # persisted/checkpointed signature stage, so it is stable for the
+    # run and resumable; urls are re-attached only to the final small
+    # outputs (verified pairs, clusters).
+    id_is_string = dict(pages.dtypes).get(id_col) == "string"
+    key = "_sid" if id_is_string else id_col
+
+    def build_signatures() -> DataFrame:
+        s = add_signatures(pages.select(id_col, text_col), text_col) \
+            .drop(text_col)  # text is dead weight downstream of shingling
+        if id_is_string:
+            s = s.withColumn(key, F.monotonically_increasing_id())
+        return s
+
+    sig = stage("01_signatures", build_signatures, lineage=id_col)
+    ids = sig.select(key, id_col) if id_is_string else None
 
     buckets = stage(
-        "02_band_buckets", lambda: band_buckets(sig, id_col), lineage=id_col)
+        "02_band_buckets", lambda: band_buckets(sig, key), lineage=key)
 
     hot = stage(
         "03_hot_buckets",
@@ -80,26 +104,54 @@ def dedup_pipeline(spark: SparkSession, pages: DataFrame, id_col: str = "url",
 
     pairs = stage(
         "04_candidate_pairs",
-        lambda: candidate_pairs(buckets, id_col, bucket_cap), lineage="id_a")
+        lambda: candidate_pairs(buckets, key, bucket_cap), lineage="id_a")
 
+    # verified pairs stay in sid space (the persisted/checkpointed
+    # artifact); urls are re-attached lazily on top — two equi-joins on
+    # the small O(dups) pair table, never on the banded stream
     verified = stage(
         "05_verified_pairs",
-        lambda: verify_pairs(pairs, sig, id_col, threshold=threshold),
+        lambda: verify_pairs(pairs, sig, key, threshold=threshold),
         lineage="id_a")
 
+    if id_is_string:
+        dup_pairs = (verified
+                     .join(ids.withColumnsRenamed({key: "id_a", id_col: "_ua"}),
+                           on="id_a")
+                     .join(ids.withColumnsRenamed({key: "id_b", id_col: "_ub"}),
+                           on="id_b")
+                     .select(F.least("_ua", "_ub").alias("id_a"),
+                             F.greatest("_ua", "_ub").alias("id_b"), "jaccard"))
+    else:
+        dup_pairs = verified
+
     if with_lcs:
-        verified = stage(
+        dup_pairs = stage(
             "05b_pair_lcs",
-            lambda: pair_lcs(attach_texts(verified, pages, id_col, text_col)),
+            lambda: pair_lcs(attach_texts(dup_pairs, pages, id_col, text_col)),
             lineage="id_a")
 
-    clusters = stage(
-        "06_clusters",
-        lambda: assign_clusters(
-            pages.select(id_col), verified.select("id_a", "id_b"), id_col),
-        lineage=id_col)
+    def build_clusters() -> DataFrame:
+        if not id_is_string:
+            return assign_clusters(
+                pages.select(id_col), verified.select("id_a", "id_b"), id_col)
+        # CC runs on int64 sid edges; cluster_id = min member url,
+        # recomputed in url space on the (small) component table so the
+        # output contract (deterministic min-id cluster labels) is
+        # unchanged
+        comp = connected_components(verified.select("id_a", "id_b"))
+        comp_urls = (comp.join(ids.withColumnsRenamed({key: "id"}), on="id")
+                     .select(F.col(id_col), F.col("component")))
+        cmin = (comp_urls.groupBy("component")
+                .agg(F.min(id_col).alias("cluster_id")))
+        members = comp_urls.join(cmin, on="component").select(id_col, "cluster_id")
+        return (pages.select(id_col).join(members, on=id_col, how="left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", F.col(id_col))))
 
-    return DedupResult(signatures=sig, dup_pairs=verified,
+    clusters = stage("06_clusters", build_clusters, lineage=id_col)
+
+    return DedupResult(signatures=sig, dup_pairs=dup_pairs,
                        clusters=clusters, hot_buckets=hot)
 
 
