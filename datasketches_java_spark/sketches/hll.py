@@ -66,12 +66,15 @@ class HllSketch:
         return float(raw)
 
     def bounds(self, num_std_dev: int = 2) -> tuple[float, float]:
-        """Gaussian approximation of hll/RelativeErrorTables.java:36:
-        RSE ~ 1.04/sqrt(m)."""
-        est = self.estimate()
-        rse = 1.04 / np.sqrt(self.m)
-        z = float(num_std_dev)
-        return est / (1.0 + z * rse), est / (1.0 - z * rse)
+        """Exact reference bounds: table-driven relative errors for
+        lgK ≤ 12 (hll/RelativeErrorTables.java:36), RSE-factor formula
+        above, LB floored at the number of non-zero registers
+        (hll/HllEstimators.java:48-88, non-HIP path — our estimator is
+        always merge-based)."""
+        from .bounds import hll_bounds
+        num_non_zeros = float(np.count_nonzero(self.regs))
+        return hll_bounds(self.estimate(), self.lg_k, num_non_zeros,
+                          num_std_dev)
 
     def to_bytes(self) -> bytes:
         return _HDR.pack(_FAMILY_HLL, _SER_VER, 0, self.lg_k, self.seed_hash, 0) \

@@ -165,7 +165,15 @@ class PrioritySample:
     def estimate_subset_sum(self, predicate) -> dict:
         """Unbiased subset-sum estimate over sampled items
         (sampling/VarOptItemsSketch.java:636 estimateSubsetSum;
-        Horvitz-Thompson with weight_hat = max(w, tau))."""
+        Horvitz-Thompson with weight_hat = max(w, tau)).
+
+        Bounds follow the reference's structure: the heavy region
+        (w ≥ tau, inclusion probability 1) is exact; the light region's
+        true fraction gets the pseudo-hypergeometric interval
+        (sampling/SamplingUtil.java:71-79 — approximate Clopper-Pearson
+        on p with kappa = 2·sqrt(1 − samplingRate)) — not a Gaussian or
+        Bennett stand-in.
+        """
         if self.items.size == 0:
             return {"estimate": 0.0, "lower_bound": 0.0,
                     "upper_bound": 0.0, "total_weight": self.total_weight}
@@ -174,13 +182,25 @@ class PrioritySample:
             est = float(self.weights[mask].sum())
             return {"estimate": est, "lower_bound": est, "upper_bound": est,
                     "total_weight": self.total_weight}
-        what = np.maximum(self.weights, self.tau)
-        est = float(what[mask].sum())
-        # conservative +-2 sigma via Bennett-style bound on HT estimator
-        sd = float(np.sqrt(np.sum((what[mask] - self.weights[mask]) * what[mask])))
+        from .bounds import (approximate_lower_bound_on_p,
+                             approximate_upper_bound_on_p)
+        heavy = self.weights >= self.tau
+        h_true = float(self.weights[heavy & mask].sum())
+        r = int(np.count_nonzero(~heavy))          # light items retained
+        r_true = int(np.count_nonzero(~heavy & mask))
+        light_total_est = self.tau * r             # HT estimate of light mass
+        est = h_true + self.tau * r_true
+        if r == 0:
+            return {"estimate": est, "lower_bound": est, "upper_bound": est,
+                    "total_weight": self.total_weight}
+        n_light = max(self.n - int(np.count_nonzero(heavy)), r)
+        eff_rate = min(r / n_light, 1.0)
+        kappa = 2.0 * np.sqrt(1.0 - eff_rate)
+        lb_frac = approximate_lower_bound_on_p(r, r_true, kappa)
+        ub_frac = approximate_upper_bound_on_p(r, r_true, kappa)
         return {"estimate": est,
-                "lower_bound": max(0.0, est - 2 * sd),
-                "upper_bound": min(self.total_weight, est + 2 * sd),
+                "lower_bound": h_true + light_total_est * lb_frac,
+                "upper_bound": h_true + light_total_est * ub_frac,
                 "total_weight": self.total_weight}
 
     def to_bytes(self) -> bytes:

@@ -90,20 +90,16 @@ class ThetaSketch:
         return self.count / self.theta_frac
 
     def bounds(self, num_std_dev: int = 2) -> tuple[float, float]:
-        """(lower, upper) confidence bounds.
-
-        Gaussian approximation of the binomial bounds in
-        thetacommon/BinomialBoundsN.java:234,257 — exact mode returns the
-        exact count; estimation mode uses est / (1 +- z/sqrt(count)).
-        """
-        if not self.is_estimation_mode:
-            return float(self.count), float(self.count)
-        if self.count == 0:
-            return 0.0, 0.0
-        z = float(num_std_dev)
-        rel = z / np.sqrt(self.count)
-        est = self.estimate()
-        return est / (1.0 + rel), est / (1.0 - rel) if rel < 1.0 else est * (1.0 + z)
+        """(lower, upper) confidence bounds — the reference's exact
+        binomial-tail estimator (thetacommon/BinomialBoundsN.java:234,
+        257: continuity-corrected classic interval for >120 samples,
+        EquivTables-adjusted interval for tiny theta, exact tail walk
+        in the hard middle range), NOT a Gaussian approximation."""
+        from .bounds import binomial_bounds_lower, binomial_bounds_upper
+        return (binomial_bounds_lower(self.count, self.theta_frac,
+                                      num_std_dev, self.is_empty),
+                binomial_bounds_upper(self.count, self.theta_frac,
+                                      num_std_dev, self.is_empty))
 
     # -- serde (§2.10; PreambleUtil-style versioned header) ------------------
     def to_bytes(self) -> bytes:
@@ -233,25 +229,32 @@ def jaccard(a: ThetaSketch, b: ThetaSketch,
             num_std_dev: int = 2) -> tuple[float, float, float]:
     """(lower, estimate, upper) Jaccard J(A,B) = |A∩B| / |A∪B|.
 
-    Mirrors theta/JaccardSimilarity.java:55 (±2σ CI per :47-54); bounds
-    use the Gaussian approximation of
-    thetacommon/BoundsOnRatiosInThetaSketchedSets.java.
+    Mirrors theta/JaccardSimilarity.java:55: the union of the two
+    trimmed sets plays A, the intersection plays B ⊆ A, and the CI
+    comes from the exact sketched-set ratio bounds
+    (thetacommon/BoundsOnRatiosInThetaSketchedSets.java →
+    common/BoundsOnRatiosInSampledSets.java, fixed 2σ) — no Gaussian
+    stand-in.  ``num_std_dev`` is accepted for API compatibility; the
+    reference pins the interval at ±2σ (JaccardSimilarity.java:53-54).
     """
     _check_seeds(a, b)
     if a.is_empty and b.is_empty:
         return 1.0, 1.0, 1.0
+    if a.is_empty != b.is_empty:
+        return 0.0, 0.0, 0.0
     theta = min(a.theta, b.theta)
     ha, hb = _trim(a, theta), _trim(b, theta)
-    n_union = float(np.union1d(ha, hb).shape[0])
-    if n_union == 0.0:
+    union = np.union1d(ha, hb)
+    n_union = int(union.shape[0])
+    if n_union == 0:
         return 1.0, 1.0, 1.0
-    n_inter = float(np.intersect1d(ha, hb).shape[0])
-    est = n_inter / n_union
-    if theta == MAX_THETA:  # exact mode -> exact Jaccard
-        return est, est, est
-    z = float(num_std_dev)
-    sigma = np.sqrt(est * (1.0 - est) / n_union) if n_union > 0 else 0.0
-    return max(0.0, est - z * sigma), est, min(1.0, est + z * sigma)
+    # identical-data fast path (JaccardSimilarity.java:81-85)
+    if ha.shape[0] == hb.shape[0] == n_union:
+        return 1.0, 1.0, 1.0
+    n_inter = int(np.intersect1d(ha, hb).shape[0])
+    from .bounds import theta_ratio_bounds
+    theta_frac = float(theta) / _MAX_THETA_F if theta != MAX_THETA else 1.0
+    return theta_ratio_bounds(n_union, n_inter, theta_frac)
 
 
 def exactly_equal(a: ThetaSketch, b: ThetaSketch) -> bool:
