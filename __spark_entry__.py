@@ -141,10 +141,12 @@ def _q_hll_nations_by_region(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_long_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
-    """Suffix-array pass: longest-common-substring length for every
-    verified near-dup pair (≥256-char runs flagged).  Suffix arrays
-    are not SQL-expressible → rows-only driver check; the algorithm is
-    unit-tested against a naive oracle in tests/test_dedup_pipeline."""
+    """Suffix-array pass over every verified near-dup pair: does the
+    pair share a duplicated substring of ≥ 256 chars?  The boolean is
+    SQL-checkable (a ≥256-run exists iff a common 256-char substring
+    exists, verifiable by enumerating stride-1 substrings in DuckDB),
+    so this query IS oracle-checked; the exact lcs_len value — not
+    SQL-expressible — is covered by the naive-oracle unit tests."""
     from datasketches_java_spark.operators.lsh import lsh_dup_pairs
     from datasketches_java_spark.operators.suffix_array import (
         attach_texts, pair_lcs)
@@ -153,7 +155,7 @@ def _q_long_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
     out = pair_lcs(attach_texts(pairs.select("id_a", "id_b"), docs, "doc_id"))
     return (out.select(F.col("id_a").alias("doc_a"),
                        F.col("id_b").alias("doc_b"),
-                       "lcs_len", "long_dup")
+                       "long_dup")
             .orderBy("doc_a", "doc_b"))
 
 
@@ -581,6 +583,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT ia AS doc_a, ib AS doc_b,
                    inter * 1000000 // uni AS jaccard_micros
             FROM pairs ORDER BY 1, 2""",
+        "long_dup_substrings": _DOC_PAIRS_CTE + """,
+            pairdocs AS (SELECT DISTINCT ia AS doc_id FROM pairs
+                         UNION SELECT DISTINCT ib FROM pairs),
+            subs AS (SELECT d.doc_id,
+                            unnest(list_transform(
+                              range(1, length(d.text) - 256 + 2),
+                              i -> d.text[i:i+255])) sub
+                     FROM documents d JOIN pairdocs USING (doc_id)
+                     WHERE length(d.text) >= 256),
+            hit AS (SELECT DISTINCT p.ia, p.ib FROM pairs p
+                    JOIN subs sa ON sa.doc_id = p.ia
+                    JOIN subs sb ON sb.doc_id = p.ib AND sb.sub = sa.sub)
+            SELECT p.ia AS doc_a, p.ib AS doc_b,
+                   (h.ia IS NOT NULL) AS long_dup
+            FROM pairs p LEFT JOIN hit h ON h.ia = p.ia AND h.ib = p.ib
+            ORDER BY 1, 2""",
         "ngram_jaccard_pairs": f"""
             WITH t AS (SELECT doc_id,
                               list_filter({SHINGLE_TOKENIZE_SQL}, x -> x != '') toks

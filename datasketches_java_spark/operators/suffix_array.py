@@ -25,13 +25,15 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..config import LCS_MIN_RUN
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of an integer sequence (prefix doubling,
-    O(n log n) numpy sorts)."""
+def _prefix_doubling(s: np.ndarray) -> tuple[np.ndarray, list]:
+    """Suffix array by prefix doubling (O(n log n) numpy sorts), also
+    returning the per-level rank arrays [(prefix_len, rank)] — the
+    sparse table the vectorized LCP walks (no per-character Python)."""
     n = len(s)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), []
     rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+    levels = [(1, rank)]
     idx = np.arange(n, dtype=np.int64)
     k = 1
     while True:
@@ -46,34 +48,53 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         new_rank = np.cumsum(new)
         rank = np.empty(n, dtype=np.int64)
         rank[order] = new_rank
+        levels.append((2 * k, rank))
         if new_rank[-1] == n - 1:
-            return order
+            return order, levels
         k *= 2
         if k >= n:
             sa = np.empty(n, dtype=np.int64)
             sa[rank] = idx
-            return sa
+            return sa, levels
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence (prefix doubling,
+    O(n log n) numpy sorts)."""
+    return _prefix_doubling(s)[0]
+
+
+def _lcp_from_levels(sa: np.ndarray, levels: list) -> np.ndarray:
+    """LCP of adjacent suffix-array entries from the doubling ranks —
+    the vectorized replacement for Kasai's per-character walk: descend
+    the levels; where level-ranks at offset h agree, the prefixes of
+    that length agree, so h += level_len.  All pairs advance together
+    in O(n) numpy work per level (O(n log n) total, no Python loop over
+    characters).  Truncated-suffix ranks encode length (the -1 key2),
+    so equality never over-counts past the end of the string."""
+    n = len(sa)
+    lcp = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return lcp
+    i = sa[1:]
+    j = sa[:-1]
+    h = np.zeros(n - 1, dtype=np.int64)
+    for length, rank in reversed(levels):
+        p1 = i + h
+        p2 = j + h
+        m = (p1 < n) & (p2 < n)
+        eq = np.zeros(n - 1, dtype=bool)
+        eq[m] = rank[p1[m]] == rank[p2[m]]
+        h[eq] += length
+    lcp[1:] = h
+    return lcp
 
 
 def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = longest common prefix of sa[i], sa[i-1]."""
-    n = len(s)
-    lcp = np.zeros(n, dtype=np.int64)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and s[i + h] == s[j + h]:
-                h += 1
-            lcp[r] = h
-            if h:
-                h -= 1
-        else:
-            h = 0
-    return lcp
+    """lcp[i] = longest common prefix of suffixes sa[i], sa[i-1]
+    (Kasai-array contract; computed vectorized from doubling levels)."""
+    _, levels = _prefix_doubling(np.asarray(s))
+    return _lcp_from_levels(np.asarray(sa), levels)
 
 
 def longest_common_substring(a: bytes, b: bytes) -> int:
@@ -85,8 +106,8 @@ def longest_common_substring(a: bytes, b: bytes) -> int:
     s = np.concatenate([
         np.frombuffer(a, dtype=np.uint8).astype(np.int64), sep,
         np.frombuffer(b, dtype=np.uint8).astype(np.int64)])
-    sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
+    sa, levels = _prefix_doubling(s)
+    lcp = _lcp_from_levels(sa, levels)
     side = sa < len(a)  # suffix starts in a?
     cross = side[1:] != side[:-1]
     if not cross.any():

@@ -47,17 +47,34 @@ class ReservoirSketch:
 
     def update_batch(self, items) -> "ReservoirSketch":
         """Vectorized Algorithm-R over a batch
-        (sampling/ReservoirItemsSketch.java:306)."""
+        (sampling/ReservoirItemsSketch.java:306): acceptance draws for
+        the whole batch happen in one numpy call; only the expected
+        O(k·log(n/k)) accepted items are touched, with last-writer-wins
+        per slot resolved by a reversed np.unique — no per-item Python
+        in the common (rejected) path."""
         items = list(items)
         rng = np.random.default_rng(self._seed + self.n)
-        for it in items:
-            self.n += 1
-            if len(self.samples) < self.k:
-                self.samples.append(it)
-            else:
-                j = int(rng.integers(0, self.n))
-                if j < self.k:
-                    self.samples[j] = it
+        fill = min(self.k - len(self.samples), len(items))
+        if fill > 0:
+            self.samples.extend(items[:fill])
+            self.n += fill
+            items = items[fill:]
+        m = len(items)
+        if m == 0:
+            return self
+        positions = self.n + np.arange(1, m + 1)     # stream size at each item
+        draws = (rng.random(m) * positions).astype(np.int64)
+        accept = np.nonzero(draws < self.k)[0]
+        if accept.size:
+            slots = draws[accept]
+            # last write per slot wins: first occurrence in the reversed
+            # order is the last chronological writer
+            rev_slots = slots[::-1]
+            uniq, first_rev = np.unique(rev_slots, return_index=True)
+            winners = accept[slots.size - 1 - first_rev]
+            for slot, widx in zip(uniq, winners):
+                self.samples[int(slot)] = items[int(widx)]
+        self.n += m
         return self
 
     def merge(self, other: "ReservoirSketch") -> "ReservoirSketch":
