@@ -101,6 +101,23 @@ def _customer_halves(spark: SparkSession, sf: str):
     return a.crossJoin(b)
 
 
+def _q_theta_serde_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct orderkeys with the sketch column exported to the
+    reference's serVer-3 compact-ordered wire format and heapified
+    back before estimating (theta/PreambleUtil.java:28-133 layout,
+    theta/Sketch.java:70 heapify) — the interop path a
+    datasketches-java/Hive/Pig producer or consumer would hit,
+    exercised inside the oracle gate."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_from_java, theta_sketch_agg, theta_to_java)
+    orders = _read(spark, sf, "orders")
+    sk = theta_sketch_agg(orders, "o_orderkey", lg_k=17)
+    wire = sk.select(theta_from_java(theta_to_java("theta_sketch"))
+                     .alias("theta_sketch"))
+    return wire.select(F.round(theta_estimate("theta_sketch")).cast("long")
+                       .alias("distinct_orderkeys"))
+
+
 def _q_theta_setops(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         theta_a_not_b_pair, theta_estimate, theta_intersect_pair,
@@ -476,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_customers_by_nation": _q_theta_customers_by_nation,
         "theta_distinct_orderkeys": _q_theta_orderkeys_global,
+        "theta_serde_roundtrip_orderkeys": _q_theta_serde_roundtrip,
         "theta_setops_custkey_halves": _q_theta_setops,
         "theta_jaccard_custkey_halves": _q_theta_jaccard,
         "hll_distinct_nations_by_region": _q_hll_nations_by_region,
@@ -507,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_customers
             FROM customer GROUP BY 1 ORDER BY 1""",
         "theta_distinct_orderkeys": """
+            SELECT COUNT(DISTINCT o_orderkey) AS distinct_orderkeys FROM orders""",
+        "theta_serde_roundtrip_orderkeys": """
             SELECT COUNT(DISTINCT o_orderkey) AS distinct_orderkeys FROM orders""",
         "theta_setops_custkey_halves": """
             WITH a AS (SELECT DISTINCT o_custkey FROM orders

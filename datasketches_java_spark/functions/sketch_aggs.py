@@ -119,6 +119,24 @@ def theta_estimate(images: pd.Series) -> pd.Series:
     return images.map(lambda b: theta.ThetaSketch.from_bytes(b).estimate())
 
 
+@F.pandas_udf(T.BinaryType())
+def theta_to_java(images: pd.Series) -> pd.Series:
+    """Engine image → reference serVer-3 compact-ordered image
+    (interop export; theta/PreambleUtil.java:28-133 layout)."""
+    from ..sketches import theta_serde
+    return images.map(
+        lambda b: theta_serde.to_java_bytes(theta.ThetaSketch.from_bytes(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def theta_from_java(images: pd.Series) -> pd.Series:
+    """Reference serVer-3 compact image → engine image (heapify
+    counterpart, theta/Sketch.java:70)."""
+    from ..sketches import theta_serde
+    return images.map(
+        lambda b: theta_serde.from_java_bytes(b).to_bytes())
+
+
 @F.pandas_udf(T.DoubleType())
 def theta_lower_bound(images: pd.Series) -> pd.Series:
     return images.map(lambda b: theta.ThetaSketch.from_bytes(b).bounds(2)[0])
