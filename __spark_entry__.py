@@ -101,6 +101,19 @@ def _customer_halves(spark: SparkSession, sf: str):
     return a.crossJoin(b)
 
 
+def _q_theta_distinct_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct count over a STRING column — the sketch hashes UTF-8
+    bytes with the reference-parity batch murmur3
+    (theta/UpdateSketch.java:255), not a pre-hash shortcut, so the
+    image is hash-equal to a reference sketch of the same strings."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg)
+    cust = _read(spark, sf, "customer")
+    sk = theta_sketch_agg(cust, "c_name", lg_k=17)
+    return sk.select(F.round(theta_estimate("theta_sketch")).cast("long")
+                     .alias("distinct_names"))
+
+
 def _q_theta_serde_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct orderkeys with the sketch column exported to the
     reference's serVer-3 compact-ordered wire format and heapified
@@ -494,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_customers_by_nation": _q_theta_customers_by_nation,
         "theta_distinct_orderkeys": _q_theta_orderkeys_global,
         "theta_serde_roundtrip_orderkeys": _q_theta_serde_roundtrip,
+        "theta_distinct_customer_names": _q_theta_distinct_names,
         "theta_setops_custkey_halves": _q_theta_setops,
         "theta_jaccard_custkey_halves": _q_theta_jaccard,
         "hll_distinct_nations_by_region": _q_hll_nations_by_region,
@@ -528,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT o_orderkey) AS distinct_orderkeys FROM orders""",
         "theta_serde_roundtrip_orderkeys": """
             SELECT COUNT(DISTINCT o_orderkey) AS distinct_orderkeys FROM orders""",
+        "theta_distinct_customer_names": """
+            SELECT COUNT(DISTINCT c_name) AS distinct_names
+            FROM customer WHERE c_name IS NOT NULL AND c_name != ''""",
         "theta_setops_custkey_halves": """
             WITH a AS (SELECT DISTINCT o_custkey FROM orders
                        WHERE o_orderdate < TIMESTAMP '1998-01-01'),

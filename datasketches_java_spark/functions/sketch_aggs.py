@@ -36,6 +36,20 @@ from ..sketches.sampling import PrioritySample, ReservoirSketch
 _GLOBAL_KEY = "__ds_global__"
 
 
+def _utf8_flat(strings: pd.Series):
+    """pandas string Series → (flat uint8 buffer, starts, lengths) via
+    the Arrow string layout — no per-row Python; feeds the batch
+    murmur3 (same flat-buffer trick as minhash_flat)."""
+    import pyarrow as pa
+    a = pa.array(strings, type=pa.string())
+    bufs = a.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        a.offset: a.offset + len(a) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return data, offsets[:-1], np.diff(offsets)
+
+
 def _two_phase(df: DataFrame, by: list[str], value_cols: list[str],
                build: Callable[[pd.DataFrame], bytes],
                merge: Callable[[list[bytes]], bytes],
@@ -78,19 +92,31 @@ def theta_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
                      prehashed: bool = False) -> DataFrame:
     """groupBy(by).agg(theta_sketch(col)) -> by + theta_sketch:binary.
 
-    ``col`` must be integral (pre-hash strings JVM-side with
-    F.xxhash64 — keeps Python out of the string path).  If
-    ``prehashed`` the column already holds 63-bit update hashes
-    (the union "backdoor", theta/UnionImpl.java:328).
+    Integral columns hash as update(long); STRING columns hash their
+    UTF-8 bytes with the batch murmur3 (null/empty rejected) — exactly
+    theta/UpdateSketch.java:255, so sketches built here are
+    hash-equal to reference sketches of the same strings (cross-system
+    set operations work).  If ``prehashed`` the column already holds
+    63-bit update hashes (the union "backdoor",
+    theta/UnionImpl.java:328).
     """
+    from ..sketches.murmur3 import theta_hash_bytes_batch
     by = by or []
+    is_string = isinstance(df.schema[col].dataType, T.StringType)
 
     def build(grp: pd.DataFrame) -> bytes:
-        vals = grp[col].dropna().to_numpy()
+        vals = grp[col].dropna()
         if prehashed:
-            sk = theta.from_update_hashes(vals.astype(np.uint64), lg_k, seed)
+            sk = theta.from_update_hashes(
+                vals.to_numpy().astype(np.uint64), lg_k, seed)
+        elif is_string:
+            vals = vals[vals != ""]  # empty rejected (UpdateSketch.java:255)
+            flat, starts, lengths = _utf8_flat(vals)
+            uh = theta_hash_bytes_batch(flat, starts, lengths, seed)
+            sk = theta.from_update_hashes(uh, lg_k, seed)
         else:
-            sk = theta.sketch_longs(vals.astype(np.int64), lg_k, seed)
+            sk = theta.sketch_longs(
+                vals.to_numpy().astype(np.int64), lg_k, seed)
         return sk.to_bytes()
 
     def merge(imgs: list[bytes]) -> bytes:
@@ -177,11 +203,22 @@ def theta_jaccard_pair(a: pd.Series, b: pd.Series) -> pd.Series:
 def hll_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
                    lg_k: int = HLL_DEFAULT_LG_K,
                    seed: int = DEFAULT_UPDATE_SEED) -> DataFrame:
+    """String columns hash their UTF-8 bytes with the batch murmur3
+    (hll/BaseHllSketch.java:292 update(String) parity); integral
+    columns hash as update(long)."""
+    from ..sketches.murmur3 import hash128_bytes_batch
     by = by or []
+    is_string = isinstance(df.schema[col].dataType, T.StringType)
 
     def build(grp: pd.DataFrame) -> bytes:
+        vals = grp[col].dropna()
+        if is_string:
+            vals = vals[vals != ""]
+            flat, starts, lengths = _utf8_flat(vals)
+            h1, h2 = hash128_bytes_batch(flat, starts, lengths, seed)
+            return hll.from_hash_pair(h1, h2, lg_k, seed).to_bytes()
         return hll.sketch_longs(
-            grp[col].dropna().to_numpy().astype(np.int64), lg_k, seed).to_bytes()
+            vals.to_numpy().astype(np.int64), lg_k, seed).to_bytes()
 
     def merge(imgs: list[bytes]) -> bytes:
         return hll.union_many([hll.HllSketch.from_bytes(b) for b in imgs]).to_bytes()

@@ -125,6 +125,94 @@ def hash128_u64_pair(k1s: np.ndarray, k2s: np.ndarray, seed: int) -> tuple[np.nd
 
 
 # ---------------------------------------------------------------------------
+# vectorized variable-length bytes path (batch parity with
+# hash(byte[], seed) — the string/byte[] update overloads,
+# theta/UpdateSketch.java:255,271)
+# ---------------------------------------------------------------------------
+
+def hash128_bytes_batch(flat: np.ndarray, starts: np.ndarray,
+                        lengths: np.ndarray, seed: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """MurmurHash3 x64-128 of N variable-length byte strings at once.
+
+    ``flat`` is the concatenated uint8 buffer (Arrow string layout);
+    string i occupies flat[starts[i] : starts[i]+lengths[i]].  Block
+    rounds run level-by-level over the subset of strings that still
+    have a full 16-byte block — O(max_blocks) numpy passes, no per-row
+    Python.  The tail round runs unconditionally on zero-padded
+    k1/k2: mix(0) == 0 and ``h ^= 0`` is the identity, so skipping the
+    reference's ``if (k1 != 0)`` guards is bit-equivalent.
+    Bit-compatible with hash/MurmurHash3.java:259 (verified against the
+    scalar parity path in tests/test_murmur3.py).
+    """
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = starts.shape[0]
+    with np.errstate(over="ignore"):
+        seed_u = np.uint64(seed & _MASK64)
+        h1 = np.full(n, seed_u, dtype=np.uint64)
+        h2 = np.full(n, seed_u, dtype=np.uint64)
+        nblocks = lengths // 16
+        max_blocks = int(nblocks.max()) if n else 0
+        cols = np.arange(16, dtype=np.int64)
+        for bi in range(max_blocks):
+            active = np.nonzero(nblocks > bi)[0]
+            idx = starts[active, None] + bi * 16 + cols
+            blk = flat[idx]                       # (m, 16) uint8
+            words = np.ascontiguousarray(blk).view("<u8")  # (m, 2)
+            k1 = words[:, 0].astype(np.uint64)
+            k2 = words[:, 1].astype(np.uint64)
+            a1, a2 = h1[active], h2[active]
+            k1 = _rotl(k1 * _C1, 31) * _C2
+            a1 = a1 ^ k1
+            a1 = _rotl(a1, 27)
+            a1 = a1 + a2
+            a1 = a1 * _M5 + _A1
+            k2 = _rotl(k2 * _C2, 33) * _C1
+            a2 = a2 ^ k2
+            a2 = _rotl(a2, 31)
+            a2 = a2 + a1
+            a2 = a2 * _M5 + _A2
+            h1[active] = a1
+            h2[active] = a2
+        # zero-padded 16-byte tails
+        rem = lengths - nblocks * 16
+        tail_start = starts + nblocks * 16
+        idx = tail_start[:, None] + cols
+        valid = cols[None, :] < rem[:, None]
+        np.clip(idx, 0, max(flat.size - 1, 0), out=idx)
+        tail = np.where(valid, flat[idx] if flat.size else np.uint8(0), 0) \
+            .astype(np.uint8)
+        words = np.ascontiguousarray(tail).view("<u8")
+        k1 = words[:, 0].astype(np.uint64)
+        k2 = words[:, 1].astype(np.uint64)
+        k1 = _rotl(k1 * _C1, 31) * _C2
+        k2 = _rotl(k2 * _C2, 33) * _C1
+        h1 = h1 ^ k1
+        h2 = h2 ^ k2
+        lu = lengths.astype(np.uint64)
+        h1 = h1 ^ lu
+        h2 = h2 ^ lu
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 = h1 + h2
+        h2 = h2 + h1
+    return h1, h2
+
+
+def theta_hash_bytes_batch(flat: np.ndarray, starts: np.ndarray,
+                           lengths: np.ndarray, seed: int) -> np.ndarray:
+    """Batch sketch-update hashes of UTF-8/byte strings:
+    murmur3(bytes)[0] >>> 1 (theta/UpdateSketch.java:260) — the
+    reference-parity string path for theta/HLL aggregation."""
+    h1, _ = hash128_bytes_batch(flat, starts, lengths, seed)
+    return h1 >> np.uint64(1)
+
+
+# ---------------------------------------------------------------------------
 # scalar bytes path (parity with hash(byte[], seed), hash/MurmurHash3.java:259)
 # ---------------------------------------------------------------------------
 

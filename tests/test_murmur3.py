@@ -69,3 +69,47 @@ def test_theta_hash_is_63_bit():
     # seedable: different seed -> different hashes
     th2 = theta_hash_u64(keys, 9002)
     assert not np.array_equal(th, th2)
+
+
+def test_batch_bytes_parity_with_scalar():
+    """hash128_bytes_batch must equal the scalar parity path for every
+    length class (empty, sub-tail, exact blocks, multi-block, long),
+    unicode payloads and both seeds."""
+    import numpy as np
+    from datasketches_java_spark.sketches.murmur3 import (
+        hash128_bytes, hash128_bytes_batch)
+    rng = np.random.default_rng(3)
+    payloads = [b"", b"a", b"abcdefg", b"0123456789abcdef",
+                b"0123456789abcdef0", "héllo wörld — ünïcode".encode(),
+                bytes(rng.integers(0, 256, 15, dtype=np.uint8)),
+                bytes(rng.integers(0, 256, 16, dtype=np.uint8)),
+                bytes(rng.integers(0, 256, 31, dtype=np.uint8)),
+                bytes(rng.integers(0, 256, 32, dtype=np.uint8)),
+                bytes(rng.integers(0, 256, 33, dtype=np.uint8)),
+                bytes(rng.integers(0, 256, 1000, dtype=np.uint8))]
+    payloads += [bytes(rng.integers(0, 256, int(L), dtype=np.uint8))
+                 for L in rng.integers(0, 200, 50)]
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    lengths = np.array([len(p) for p in payloads], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    for seed in (0, 9001):
+        h1, h2 = hash128_bytes_batch(flat, starts, lengths, seed)
+        for i, p in enumerate(payloads):
+            s1, s2 = hash128_bytes(p, seed)
+            assert (int(h1[i]), int(h2[i])) == (s1, s2), f"payload {i}"
+
+
+def test_batch_bytes_single_long_equivalence():
+    """An 8-byte little-endian payload must hash identically to the
+    vectorized single-long path (same contract as the reference's
+    hash(long) vs hash(byte[8]))."""
+    import numpy as np
+    from datasketches_java_spark.sketches.murmur3 import (
+        hash128_bytes_batch, hash128_u64)
+    vals = np.array([0, 1, -1, 2**62, -2**60], dtype=np.int64)
+    flat = np.frombuffer(vals.astype("<i8").tobytes(), dtype=np.uint8)
+    starts = np.arange(5, dtype=np.int64) * 8
+    lengths = np.full(5, 8, dtype=np.int64)
+    b1, b2 = hash128_bytes_batch(flat, starts, lengths, 9001)
+    l1, l2 = hash128_u64(vals, 9001)
+    assert np.array_equal(b1, l1) and np.array_equal(b2, l2)

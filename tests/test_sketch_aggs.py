@@ -96,3 +96,39 @@ def test_reservoir_and_priority(spark, lineitem):
     assert n == lineitem.count()
     ps = SA.priority_sample_agg(lineitem, "l_orderkey", "l_quantity", k=512)
     assert ps.count() == 1
+
+
+def test_theta_string_agg_reference_hash_path(spark):
+    """String columns go through the batch murmur3 UTF-8 path — the
+    resulting sketch retains EXACTLY the hashes the reference's
+    update(String) would produce (scalar parity path), and the
+    estimate is exact below k."""
+    import numpy as np
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg)
+    from datasketches_java_spark.sketches.murmur3 import theta_hash_str
+    from datasketches_java_spark.sketches.theta import ThetaSketch
+    words = [f"wörd-{i % 600}" for i in range(5000)] + ["", None]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    sk_rows = theta_sketch_agg(df, "s", lg_k=12).collect()
+    img = sk_rows[0]["theta_sketch"]
+    sk = ThetaSketch.from_bytes(img)
+    want = np.unique(np.array(
+        [theta_hash_str(f"wörd-{i}", 9001) for i in range(600)],
+        dtype=np.uint64))
+    assert np.array_equal(sk.hashes, want)
+    est = spark.createDataFrame([(img,)], "theta_sketch binary").select(
+        theta_estimate("theta_sketch")).collect()[0][0]
+    assert round(est) == 600
+
+
+def test_hll_string_agg(spark):
+    from datasketches_java_spark.functions.sketch_aggs import (
+        hll_estimate, hll_sketch_agg)
+    words = [f"token{i % 300}" for i in range(3000)]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    est = hll_sketch_agg(df, "s").select(
+        hll_estimate("hll_sketch")).collect()[0][0]
+    # linear-counting range at n/m ~ 0.07 carries a few-% estimator
+    # noise; exactness is only expected at tiny n (the oracle queries)
+    assert abs(est - 300) / 300 < 0.05
