@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SHINGLE_TOKENIZE_SQL = "string_split_regex(lower(text), '[^a-z0-9]+')"
+# Tokenizer aligned with the engine's functions/text.tokens(): Unicode
+# letter/digit classes (RE2 supports \\p{{L}}/\\p{{N}} like Spark's Java
+# regex) and empty tokens filtered — no ASCII-only assumption.
+SHINGLE_TOKENIZE_SQL = (
+    "list_filter(string_split_regex(lower(text), "
+    "'[^\\p{L}\\p{N}]+'), x -> x != '')")
 
 # DuckDB 5-word-shingle Jaccard pair list over `documents` — the exact
 # oracle for the LSH pipeline (same tokenizer/shingler as
@@ -226,15 +231,23 @@ def _q_freq_orderpriority(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_freq_heavy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters above a data-dependent threshold (total/120).
+    The threshold rides in the plan as a broadcast one-row aggregate
+    (scalar-subquery shape) instead of a separate .count() driver
+    action — one scan of lineitem feeds both the sketch and the
+    threshold, no extra job at 100 TB.  The lower_bound filter keeps
+    the NO_FALSE_POSITIVES semantics (frequencies/ErrorType.java:35)
+    in estimation mode; in exact mode lb == estimate."""
     from datasketches_java_spark.functions.sketch_aggs import (
         freq_items, freq_sketch_agg)
     li = _read(spark, sf, "lineitem").withColumn(
         "suppkey_str", F.col("l_suppkey").cast("string"))
-    total = _read(spark, sf, "lineitem").count()
-    thresh = total // 120
+    thresh = li.agg(F.floor(F.count(F.lit(1)) / 120).alias("thresh"))
     sk = freq_sketch_agg(li, "suppkey_str", max_map_size=1024)
-    items = freq_items(thresh)
+    items = freq_items(0)
     return (sk.select(F.explode(items("freq_sketch")).alias("fi"))
+            .crossJoin(F.broadcast(thresh))
+            .where(F.col("fi.lower_bound") >= F.col("thresh"))
             .select(F.col("fi.item").cast("long").alias("l_suppkey"),
                     F.col("fi.estimate").alias("cnt"))
             .orderBy("l_suppkey"))
@@ -638,7 +651,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2""",
         "ngram_jaccard_pairs": f"""
             WITH t AS (SELECT doc_id,
-                              list_filter({SHINGLE_TOKENIZE_SQL}, x -> x != '') toks
+                              {SHINGLE_TOKENIZE_SQL} toks
                        FROM documents),
             g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
                     list_transform(range(1, len(toks)-2+1),
@@ -666,11 +679,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id""",
         "text_stats_documents": f"""
             SELECT doc_id,
-                   len(list_filter({SHINGLE_TOKENIZE_SQL}, t -> t != ''))
+                   len({SHINGLE_TOKENIZE_SQL})
                      AS token_cnt,
                    length(text) AS char_cnt,
-                   len(list_distinct(list_filter({SHINGLE_TOKENIZE_SQL},
-                                                 t -> t != '')))
+                   len(list_distinct({SHINGLE_TOKENIZE_SQL}))
                      AS distinct_tokens
             FROM documents ORDER BY doc_id""",
         "ann_cosine_topk": """

@@ -40,9 +40,10 @@ DUP_JACCARD_THRESHOLD = 0.8  # golden_dup_pairs threshold (FIXTURES.md)
 # Cap on candidate pairs emitted per LSH bucket (hot-template guard).
 LSH_BUCKET_CAP = 64
 
-# Mersenne prime used by the (a*h+b) mod p universal hash family for the
-# 128 MinHash permutations (classic Broder construction).
-MINHASH_PRIME = (1 << 61) - 1
+# NOTE: the 128 MinHash permutations use (a*h + b) over the full
+# uint64 ring (mod 2^64 wrap-around, functions/minhash.py) — NOT a
+# Mersenne-prime field; a*odd + b is a bijection on Z/2^64 which is
+# sufficient for min-stability.  No prime constant is involved.
 
 # Long-common-substring threshold for the suffix-array pass (FIXTURES.md).
 LCS_MIN_RUN = 256
