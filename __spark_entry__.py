@@ -208,6 +208,24 @@ def _q_kll_acctbal_by_nation(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("c_nationkey"))
 
 
+def _q_req_quantiles_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """REQ relative-error quantiles per nation (req/ReqSketch.java:82)
+    — exact mode at per-group n below the base capacity, so quantiles
+    are exact order statistics and hash-match the cume_dist oracle;
+    tail-accuracy envelopes are asserted in tests/test_req.py."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        req_quantiles, req_sketch_agg)
+    cust = _read(spark, sf, "customer")
+    sk = req_sketch_agg(cust, "c_acctbal", by=["c_nationkey"], k=1024)
+    q = req_quantiles([0.25, 0.5, 0.75])
+    return (sk.select("c_nationkey", q("req_sketch").alias("qs"))
+            .select("c_nationkey",
+                    F.col("qs")[0].alias("q25"),
+                    F.col("qs")[1].alias("q50"),
+                    F.col("qs")[2].alias("q75"))
+            .orderBy("c_nationkey"))
+
+
 def _q_kll_price_stats(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         kll_max, kll_min, kll_n, kll_sketch_agg)
@@ -526,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_nations_by_region": _q_hll_nations_by_region,
         "long_dup_substrings": _q_long_dup_substrings,
         "kll_quantiles_acctbal_by_nation": _q_kll_acctbal_by_nation,
+        "req_quantiles_acctbal_by_nation": _q_req_quantiles_acctbal,
         "kll_price_stats": _q_kll_price_stats,
         "freq_orderpriority_counts": _q_freq_orderpriority,
         "freq_heavy_suppliers": _q_freq_heavy_suppliers,
@@ -582,6 +601,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(DISTINCT n_nationkey) AS distinct_nations
             FROM nation GROUP BY 1 ORDER BY 1""",
         "kll_quantiles_acctbal_by_nation": """
+            WITH r AS (SELECT c_nationkey, c_acctbal,
+                              cume_dist() OVER (PARTITION BY c_nationkey
+                                                ORDER BY c_acctbal) cd
+                       FROM customer)
+            SELECT c_nationkey,
+                   MIN(c_acctbal) FILTER (WHERE cd >= 0.25) AS q25,
+                   MIN(c_acctbal) FILTER (WHERE cd >= 0.5)  AS q50,
+                   MIN(c_acctbal) FILTER (WHERE cd >= 0.75) AS q75
+            FROM r GROUP BY 1 ORDER BY 1""",
+        "req_quantiles_acctbal_by_nation": """
             WITH r AS (SELECT c_nationkey, c_acctbal,
                               cume_dist() OVER (PARTITION BY c_nationkey
                                                 ORDER BY c_acctbal) cd

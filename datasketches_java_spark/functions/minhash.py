@@ -146,7 +146,7 @@ def winnow_batch(series: pd.Series, window: int = 8) -> list:
             continue
         sw = np.lib.stride_tricks.sliding_window_view(h, window)
         mins = sw.min(axis=1).view(np.int64)
-        out.append(sorted({int(x) for x in mins}))
+        out.append(np.unique(mins).tolist())  # sorted + deduped, C-level
     return out
 
 

@@ -291,6 +291,50 @@ def kll_max(images: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# REQ (relative-error quantiles)
+# ---------------------------------------------------------------------------
+
+def req_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                   k: int = 12, hra: bool = True) -> DataFrame:
+    """groupBy(by).agg(req_sketch(col)) — relative-error quantiles
+    (req/ReqSketch.java:82): HRA mode keeps extreme-tail ranks
+    near-exact, the regime KLL's uniform rank error can't serve
+    (length/score distribution tails in data pipelines)."""
+    from ..sketches.req import ReqSketch
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return ReqSketch(k, hra).update_batch(
+            grp[col].dropna().to_numpy().astype(np.float64)).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        out = ReqSketch.from_bytes(imgs[0])
+        for b in imgs[1:]:
+            out.merge(ReqSketch.from_bytes(b))
+        return out.to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "req_sketch")
+
+
+def req_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def qs(images: pd.Series) -> pd.Series:
+        from ..sketches.req import ReqSketch
+        return images.map(
+            lambda b: ReqSketch.from_bytes(b).quantiles(ranks, inclusive))
+    return qs
+
+
+def req_rank(value: float, inclusive: bool = True) -> Callable:
+    @F.pandas_udf(T.DoubleType())
+    def r(images: pd.Series) -> pd.Series:
+        from ..sketches.req import ReqSketch
+        return images.map(
+            lambda b: ReqSketch.from_bytes(b).rank(value, inclusive))
+    return r
+
+
+# ---------------------------------------------------------------------------
 # frequent items
 # ---------------------------------------------------------------------------
 

@@ -259,11 +259,22 @@ def verify_pairs(pairs: DataFrame, shingled: DataFrame, id_col: str,
                  shingle_col: str = "shingles",
                  threshold: float = DUP_JACCARD_THRESHOLD) -> DataFrame:
     """Exact-Jaccard verification join: (id_a, id_b) → rows with
-    jaccard ≥ threshold.  Output: id_a, id_b, jaccard."""
+    jaccard ≥ threshold.  Output: id_a, id_b, jaccard.
+
+    Both joins carry a shuffle_hash hint: the signature side's rows
+    hold ~2 KB shingle arrays, and a sort-merge join (Catalyst's
+    default here — checkpointed inputs have no stats) would SORT those
+    fat rows per task, which measurably ANTI-scales with concurrent
+    tasks (memory/GC pressure: 23 s → 66 s going 4 → 16 cores on the
+    400k-doc fixture).  A shuffle-hash join builds the table on the
+    pair side and streams the arrays (14 s → 11 s, scaling restored).
+    Same reasoning holds at cluster scale: never sort array payloads.
+    """
     sh = shingled.select(F.col(id_col), F.col(shingle_col))
-    joined = (pairs
+    joined = (pairs.hint("shuffle_hash")
               .join(sh.withColumnRenamed(id_col, "id_a")
                       .withColumnRenamed(shingle_col, "sh_a"), on="id_a")
+              .hint("shuffle_hash")
               .join(sh.withColumnRenamed(id_col, "id_b")
                       .withColumnRenamed(shingle_col, "sh_b"), on="id_b"))
     return (joined

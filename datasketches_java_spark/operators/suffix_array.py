@@ -148,10 +148,13 @@ def pair_lcs(pairs_with_text: DataFrame,
 def attach_texts(pairs: DataFrame, docs: DataFrame, id_col: str,
                  text_col: str = "text") -> DataFrame:
     """Join the two text bodies onto a pair list (same shape as the
-    verification join)."""
+    verification join; shuffle_hash hints for the same reason —
+    sort-merge would sort the full text payloads, see
+    operators/lsh.verify_pairs)."""
     t = docs.select(F.col(id_col), F.col(text_col))
-    return (pairs
+    return (pairs.hint("shuffle_hash")
             .join(t.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed(text_col, "text_a"), on="id_a")
+            .hint("shuffle_hash")
             .join(t.withColumnRenamed(id_col, "id_b")
                    .withColumnRenamed(text_col, "text_b"), on="id_b"))
