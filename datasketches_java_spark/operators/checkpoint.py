@@ -30,32 +30,58 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CheckpointStore:
+    """``fmt="parquet"`` (sandbox default): path-based checkpoints under
+    ``root``.  ``fmt="iceberg"``: ``root`` is a catalog namespace (e.g.
+    ``local.dedup``) and every stage becomes an Iceberg TABLE written
+    through DataFrameWriterV2 (``df.writeTo(...).using("iceberg")
+    .createOrReplace()``) — the production path BASELINE.json names;
+    exercised behind a skip-marker in tests/test_checkpoint_iceberg.py
+    because the Iceberg runtime jar is not in this sandbox."""
+
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
         self.spark = spark
         self.root = root
         self.fmt = fmt
-        os.makedirs(root, exist_ok=True)
+        if fmt != "iceberg":
+            os.makedirs(root, exist_ok=True)
 
-    # -- paths -------------------------------------------------------------
+    # -- paths / tables ----------------------------------------------------
     def _data(self, stage: str) -> str:
+        if self.fmt == "iceberg":
+            return f"{self.root}.{stage}_data"
         return os.path.join(self.root, stage, "data")
 
     def _metrics(self, stage: str) -> str:
+        if self.fmt == "iceberg":
+            return f"{self.root}.{stage}_metrics"
         return os.path.join(self.root, stage, "metrics")
 
     def is_complete(self, stage: str) -> bool:
+        if self.fmt == "iceberg":
+            return self.spark.catalog.tableExists(self._data(stage))
         return os.path.exists(os.path.join(self._data(stage), "_SUCCESS"))
+
+    def _write(self, df: DataFrame, target: str) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(target).using("iceberg").createOrReplace()
+        else:
+            df.write.format(self.fmt).mode("overwrite").save(target)
+
+    def _read(self, target: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.table(target)
+        return self.spark.read.format(self.fmt).load(target)
 
     # -- core --------------------------------------------------------------
     def run_stage(self, stage: str, build: Callable[[], DataFrame],
                   lineage_col: str | None = None) -> DataFrame:
         """Execute-or-resume one pipeline stage."""
         if self.is_complete(stage):
-            return self.spark.read.format(self.fmt).load(self._data(stage))
+            return self._read(self._data(stage))
         t0 = time.time()
         df = build()
-        df.write.format(self.fmt).mode("overwrite").save(self._data(stage))
-        out = self.spark.read.format(self.fmt).load(self._data(stage))
+        self._write(df, self._data(stage))
+        out = self._read(self._data(stage))
         self._write_metrics(stage, out, lineage_col, wall_ms=int((time.time() - t0) * 1000))
         return out
 
@@ -72,14 +98,20 @@ class CheckpointStore:
                .groupBy("partition_id").agg(*agg)
                .withColumn("stage", F.lit(stage))
                .withColumn("wall_ms", F.lit(wall_ms)))
-        m.write.format(self.fmt).mode("overwrite").save(self._metrics(stage))
+        self._write(m, self._metrics(stage))
 
     def metrics(self, stage: str) -> DataFrame:
-        return self.spark.read.format(self.fmt).load(self._metrics(stage))
+        return self._read(self._metrics(stage))
 
     def all_metrics(self) -> DataFrame:
-        stages = [s for s in sorted(os.listdir(self.root))
-                  if os.path.exists(self._metrics(s))]
+        if self.fmt == "iceberg":
+            tables = [t.name for t in
+                      self.spark.catalog.listTables(self.root)
+                      if t.name.endswith("_metrics")]
+            stages = [t[: -len("_metrics")] for t in sorted(tables)]
+        else:
+            stages = [s for s in sorted(os.listdir(self.root))
+                      if os.path.exists(self._metrics(s))]
         dfs = [self.metrics(s) for s in stages]
         out = dfs[0]
         for d in dfs[1:]:

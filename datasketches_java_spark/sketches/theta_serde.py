@@ -70,13 +70,16 @@ def to_java_bytes(sk: ThetaSketch) -> bytes:
     return b"".join(out)
 
 
-def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED
-                    ) -> ThetaSketch:
+def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED,
+                    lg_k: int | None = None) -> ThetaSketch:
     """Heapify a serVer-3 compact image (theta/Sketch.java:70 heapify
     counterpart).  ``seed`` enables the 16-bit seed-hash check the
     reference performs on every wrap/merge (UnionImpl.java:308); pass
-    None to skip.  The nominal k is not stored in compact images, so
-    the result carries lg_k = max(default, ceil-pow2(count))."""
+    None to skip.  The nominal k is NOT stored in compact images (the
+    reference's set operations take k from their builder, not the
+    input image) — pass ``lg_k`` when downstream unions must honor a
+    specific nominal size; otherwise the result carries
+    lg_k = max(default, ceil-pow2(count))."""
     if len(buf) < 8:
         raise ValueError("theta image too short")
     pre_longs = buf[0] & 0x3F
@@ -93,7 +96,7 @@ def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED
     if flags & _FLAG_BIG_ENDIAN:
         raise ValueError("big-endian theta images not supported")
     if flags & _FLAG_EMPTY:
-        lg = DEFAULT_LG_K
+        lg = lg_k if lg_k is not None else DEFAULT_LG_K
         sh = compute_seed_hash(seed) if seed is not None else 0
         return ThetaSketch(lg, sh, MAX_THETA, np.empty(0, np.uint64))
     if seed is not None and seed_hash != compute_seed_hash(seed):
@@ -102,7 +105,8 @@ def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED
             f"computed {compute_seed_hash(seed)} (UnionImpl.java:308)")
     if pre_longs == 1 or flags & _FLAG_SINGLE_ITEM:
         h = np.frombuffer(buf, dtype="<u8", count=1, offset=8).astype(np.uint64)
-        return ThetaSketch(DEFAULT_LG_K, seed_hash, MAX_THETA, h)
+        return ThetaSketch(lg_k if lg_k is not None else DEFAULT_LG_K,
+                           seed_hash, MAX_THETA, h)
     count = struct.unpack_from("<i", buf, 8)[0]
     if pre_longs == 2:
         theta = MAX_THETA
@@ -116,4 +120,5 @@ def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED
                            offset=off).astype(np.uint64)
     if not flags & _FLAG_ORDERED:
         hashes = np.sort(hashes)
-    return ThetaSketch(_lg_k_for_count(count), seed_hash, theta, hashes)
+    return ThetaSketch(lg_k if lg_k is not None else _lg_k_for_count(count),
+                       seed_hash, theta, hashes)
