@@ -168,6 +168,15 @@ def sketch_longs(values: np.ndarray, lg_k: int = DEFAULT_LG_K,
     return from_update_hashes(uh, lg_k, seed)
 
 
+def sketch_doubles(values: np.ndarray, lg_k: int = DEFAULT_LG_K,
+                   seed: int = DEFAULT_UPDATE_SEED) -> ThetaSketch:
+    """Sketch a batch of float64 values with the reference's
+    canonicalization (−0.0 → 0.0, all NaNs collapse) before hashing
+    the IEEE-754 bits (update(double), theta/UpdateSketch.java:236)."""
+    from .hash_adaptors import canonical_double_bits
+    return sketch_longs(canonical_double_bits(values), lg_k, seed)
+
+
 def _check_seeds(a: ThetaSketch, b: ThetaSketch) -> None:
     if a.seed_hash != b.seed_hash:
         raise ValueError(
