@@ -501,6 +501,53 @@ def _q_ann_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def _q_ann_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors in argmax-dot centroid cells,
+    queries probe their 4 best of 16 cells, exact cosine re-scores
+    same-cell candidates only (operators/similarity.ivf_cosine_topk).
+    Deterministic centroids are replicated as literals in the oracle,
+    so the inverted-file semantics are value-checked end-to-end."""
+    from datasketches_java_spark.operators.similarity import ivf_cosine_topk
+    emb = _read(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return (ivf_cosine_topk(queries_df, emb, id_col="vec_id",
+                            vec_col="embedding", k=5, n_cells=16, nprobe=4)
+            .orderBy("query_id", "rank"))
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """DuckDB oracle for ann_cosine_topk_ivf: the 16×64 deterministic
+    unit centroids as SQL literals; cell = argmax dot (struct-sort),
+    probes = top-4 cells per query, exact cosine within cells."""
+    from datasketches_java_spark.operators.similarity import ivf_centroids
+    cents = ivf_centroids(64, 16, 9001)
+    entries = []
+    for i, row in enumerate(cents):
+        arr = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        entries.append(
+            f"{{'d': -list_dot_product(v, {arr}), 'i': {i}}}")
+    score_list = "[" + ",\n               ".join(entries) + "]"
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        sc AS (SELECT vec_id, v, list_sort({score_list}) s FROM e),
+        corp AS (SELECT vec_id nid, v cv, s[1].i AS cell FROM sc),
+        q AS (SELECT vec_id qid, v qv,
+                     unnest(list_transform(s[1:4], x -> x.i)) AS cell
+              FROM sc WHERE vec_id < 10),
+        cand AS (SELECT qid, nid,
+                        list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv))
+                             * sqrt(list_dot_product(cv, cv))) sim
+                 FROM q JOIN corp USING (cell) WHERE nid != qid),
+        r AS (SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, nid) rk
+              FROM cand)
+        SELECT qid AS query_id, nid AS neighbor_id, rk AS rank
+        FROM r WHERE rk <= 5 ORDER BY 1, 3"""
+
+
 def _ann_lsh_oracle_sql() -> str:
     """DuckDB oracle for ann_cosine_topk_lsh: the 8×64 gaussian
     hyperplanes from the engine's deterministic seed are embedded as
@@ -561,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": _q_text_stats_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
     }
 
@@ -727,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, nid AS neighbor_id, rk AS rank
             FROM r WHERE rk <= 5 ORDER BY 1, 3""",
         "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
+        "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

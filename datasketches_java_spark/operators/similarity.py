@@ -193,6 +193,65 @@ def embedding_simhash(df: DataFrame, vec_col: str, bits: int = 16,
     return df.withColumn(out_col, proj.cast("long"))
 
 
+def ivf_centroids(d: int, n_cells: int = 16, seed: int = 9001) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (seeded
+    gaussian).  A production deployment would train them with k-means
+    on a sample; the *plan* (assign → probe → exact re-score) is
+    identical, and the deterministic variant is oracle-checkable."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, d))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_scores(vec_col, centroids: np.ndarray):
+    """array<struct<dot, cell>> of centroid dot products — codegen."""
+    entries = []
+    for i, row in enumerate(centroids):
+        coeff = F.array(*[F.lit(float(x)) for x in row])
+        entries.append(F.struct(
+            _dot(_as_double(F.col(vec_col)), coeff).alias("dot"),
+            F.lit(i).alias("cell")))
+    return F.array(*entries)
+
+
+def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+                    vec_col: str, k: int = 10, n_cells: int = 16,
+                    nprobe: int = 4, seed: int = 9001) -> DataFrame:
+    """IVF-style ANN top-k: corpus vectors live in the argmax-dot
+    centroid cell; each query probes its ``nprobe`` best cells and
+    scores ONLY same-cell candidates with exact cosine — the classic
+    inverted-file plan (assign is one codegen projection, candidate
+    generation is an equi-join on cell id, scoring touches
+    ~nprobe/n_cells of the corpus).  At 100 TB the assignment is a
+    map-only pass and the join shuffles by cell, so skewed cells
+    behave like any hot groupBy key (AQE skew-join applies).
+    Deterministic centroids (see ivf_centroids) make the whole
+    operator value-checkable against a SQL oracle with the same
+    centroid literals."""
+    d = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    cents = ivf_centroids(d, n_cells, seed)
+    # struct max compares (dot, cell) lexicographically → argmax dot
+    corp = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("cv"))
+            .withColumn("cell",
+                        F.array_max(_cell_scores("cv", cents))["cell"]))
+    probes = F.transform(
+        F.slice(F.sort_array(_cell_scores("qv", cents), asc=False),
+                1, nprobe), lambda s: s["cell"])
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+         .withColumn("cell", F.explode(probes)))
+    sim = _dot("qv", "cv") / (
+        F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    scored = (q.join(corp, on="cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", sim.alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def simhash_ann_buckets(queries: DataFrame, corpus: DataFrame, id_col: str,
                         vec_col: str, k: int = 10, bits: int = 8) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates (equi-join
