@@ -34,6 +34,11 @@ SHINGLE_TOKENIZE_SQL = (
     "list_filter(string_split_regex(lower(text), "
     "'[^\\p{L}\\p{N}]+'), x -> x != '')")
 
+# The engine's GPT-2-style pre-tokenizer pattern, SQL-quoted for the
+# DuckDB oracle (same RE2-compatible regex both sides).
+from datasketches_java_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
 # DuckDB 5-word-shingle Jaccard pair list over `documents` — the exact
 # oracle for the LSH pipeline (same tokenizer/shingler as
 # datasketches_java_spark.functions.text).
@@ -444,14 +449,34 @@ def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
-    from datasketches_java_spark.functions.text import token_count, char_count
+    from datasketches_java_spark.functions.text import (
+        bpe_token_count, char_count, token_count)
     docs = _read(spark, sf, "documents")
     toks = token_count("text")
     return (docs.select(
         "doc_id", toks.alias("token_cnt"), char_count("text").alias("char_cnt"),
         F.size(F.array_distinct(F.split(F.lower("text"), r"[^\p{L}\p{N}]+")))
-        .alias("distinct_tokens"))
+        .alias("distinct_tokens"),
+        bpe_token_count("text").alias("bpe_token_cnt"))
         .orderBy("doc_id"))
+
+
+def _q_embedding_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space dedup: connected components over the exact
+    cosine ≥ 0.4 pair graph (block-BLAS pairs → int64-edge CC),
+    cluster_id = min member vec_id — the embedding analogue of
+    dedup_clusters_documents, oracle-checked via a recursive CTE."""
+    from datasketches_java_spark.operators.connected_components import (
+        assign_clusters)
+    from datasketches_java_spark.operators.similarity import (
+        cosine_pairs_blocked)
+    emb = _read(spark, sf, "embeddings")
+    edges = cosine_pairs_blocked(emb, id_col="vec_id", vec_col="embedding",
+                                 threshold=0.4, n_blocks=8)
+    return (assign_clusters(emb.select("vec_id"),
+                            edges.select("id_a", "id_b"), "vec_id")
+            .select("vec_id", "cluster_id")
+            .orderBy("vec_id"))
 
 
 def _q_embedding_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -610,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
     }
 
 
@@ -760,7 +786,9 @@ def oracle_sql() -> dict[str, str]:
                      AS token_cnt,
                    length(text) AS char_cnt,
                    len(list_distinct({SHINGLE_TOKENIZE_SQL}))
-                     AS distinct_tokens
+                     AS distinct_tokens,
+                   len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))
+                     AS bpe_token_cnt
             FROM documents ORDER BY doc_id""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
@@ -783,4 +811,22 @@ def oracle_sql() -> dict[str, str]:
                     CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY 1, 2""",
+        "embedding_dedup_clusters": """
+            WITH p AS (SELECT a.vec_id ia, b.vec_id ib
+                       FROM embeddings a JOIN embeddings b
+                         ON a.vec_id < b.vec_id
+                       WHERE list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            edges AS (SELECT ia a, ib b FROM p UNION SELECT ib, ia FROM p),
+            rec AS (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              SELECT a, min(b) mn FROM reach GROUP BY a),
+            comp AS (SELECT a AS id, least(a, mn) AS cluster_id FROM rec)
+            SELECT v.vec_id, coalesce(c.cluster_id, v.vec_id) AS cluster_id
+            FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
+            ORDER BY v.vec_id""",
     }

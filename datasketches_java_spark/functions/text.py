@@ -97,6 +97,22 @@ def char_count(text: Column | str) -> Column:
     return F.length(c)
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so it runs
+# identically under Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction suffixes | space?letters | space?digits | space?punct-run.
+BPE_TOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments under the
+    GPT-2-style pattern — the standard cheap proxy for LLM token
+    budgeting (each segment maps to ≥ 1 BPE token).  Pure codegen
+    (regexp_extract_all + size)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Punctuation chars / total chars."""
     c = F.col(text) if isinstance(text, str) else text
