@@ -87,8 +87,11 @@ def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED,
     fam = buf[2]
     flags = buf[5]
     seed_hash = struct.unpack_from("<H", buf, 6)[0]
+    if ser_ver in (1, 2):
+        return _heapify_legacy(buf, ser_ver, pre_longs, fam, flags,
+                               seed_hash, seed, lg_k)
     if ser_ver != _SER_VER:
-        raise ValueError(f"unsupported theta serVer {ser_ver} (only 3)")
+        raise ValueError(f"unsupported theta serVer {ser_ver} (only 1-3)")
     if fam != _FAMILY_COMPACT:
         raise ValueError(
             f"family {fam} is not a compact theta image (need 3); "
@@ -122,3 +125,53 @@ def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED,
         hashes = np.sort(hashes)
     return ThetaSketch(lg_k if lg_k is not None else _lg_k_for_count(count),
                        seed_hash, theta, hashes)
+
+
+def _heapify_legacy(buf: bytes, ser_ver: int, pre_longs: int, fam: int,
+                    flags: int, seed_hash: int, seed: int | None,
+                    lg_k: int | None) -> ThetaSketch:
+    """Cross-version readers for serVer 1 (~2014) and 2 images —
+    theta/ForwardCompatibility.java:53-118 semantics:
+      v1: always preLongs=3, compact ordered, famID 1-3, NO seed hash
+          stored (caller's seed supplies it), no empty flag — empty iff
+          count==0 and theta==MAX (or a bare 24-byte preamble);
+      v2: preLongs 1 (empty) / 2 (exact) / 3 (estimating), compact
+          ordered, famID 1-4, seed hash at bytes 6-7 like v3."""
+    sh = compute_seed_hash(seed) if seed is not None else seed_hash
+    out_lg = lg_k if lg_k is not None else DEFAULT_LG_K
+
+    def _empty() -> ThetaSketch:
+        return ThetaSketch(out_lg, sh, MAX_THETA, np.empty(0, np.uint64))
+
+    if ser_ver == 1:
+        if pre_longs != 3:
+            raise ValueError(f"serVer-1 preLongs must be 3, got {pre_longs}")
+        if not 1 <= fam <= 3:
+            raise ValueError(f"serVer-1 family must be 1-3, got {fam}")
+        count = struct.unpack_from("<i", buf, 8)[0]
+        theta = np.uint64(struct.unpack_from("<q", buf, 16)[0])
+        if (count == 0 and theta == MAX_THETA) or len(buf) <= 24:
+            return _empty()
+        hashes = np.frombuffer(buf, dtype="<u8", count=count,
+                               offset=24).astype(np.uint64)
+        lg = lg_k if lg_k is not None else _lg_k_for_count(count)
+        return ThetaSketch(lg, sh, theta, hashes)
+
+    # ser_ver == 2
+    if not 1 <= fam <= 4:
+        raise ValueError(f"serVer-2 family must be 1-4, got {fam}")
+    if seed is not None and seed_hash != compute_seed_hash(seed):
+        raise ValueError(
+            f"seed-hash mismatch in serVer-2 image: {seed_hash} != "
+            f"{compute_seed_hash(seed)}")
+    if pre_longs == 1:
+        return _empty()
+    count = struct.unpack_from("<i", buf, 8)[0]
+    if count == 0:
+        return _empty()
+    theta = MAX_THETA if pre_longs == 2 else \
+        np.uint64(struct.unpack_from("<q", buf, 16)[0])
+    hashes = np.frombuffer(buf, dtype="<u8", count=count,
+                           offset=pre_longs << 3).astype(np.uint64)
+    lg = lg_k if lg_k is not None else _lg_k_for_count(count)
+    return ThetaSketch(lg, sh, theta, hashes)

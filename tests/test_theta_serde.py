@@ -135,3 +135,60 @@ def test_union_after_heapify_matches_native():
                            from_java_bytes(to_java_bytes(b)))
     assert via_wire.theta == native.theta
     assert np.array_equal(via_wire.hashes, native.hashes)
+
+
+def _v1_image(sk) -> bytes:
+    """Construct a serVer-1 image from the documented layout: preLongs
+    always 3, compact ordered, no seed hash, no flags semantics."""
+    pre0 = struct.pack("<BBBBBBH", 3, 1, 3, 12, 13, 0, 0)
+    return (pre0 + struct.pack("<if", sk.count, 0.0)
+            + struct.pack("<q", int(sk.theta))
+            + sk.hashes.astype("<u8").tobytes())
+
+
+def _v2_image(sk, pre_longs: int) -> bytes:
+    pre0 = struct.pack("<BBBBBBH", pre_longs, 2, 3, 12, 13, 0x0A, SEED_HASH)
+    parts = [pre0]
+    if pre_longs >= 2:
+        parts.append(struct.pack("<if", sk.count, 0.0))
+    if pre_longs == 3:
+        parts.append(struct.pack("<q", int(sk.theta)))
+    parts.append(sk.hashes.astype("<u8").tobytes())
+    return b"".join(parts)
+
+
+def test_serVer1_heapify():
+    """ForwardCompatibility.heapify1to3:53-84 semantics: preLongs 3,
+    no stored seed hash (caller's seed supplies it), empty iff
+    count==0 and theta==MAX."""
+    est = theta.sketch_longs(np.arange(50_000), lg_k=12)
+    rt = from_java_bytes(_v1_image(est), lg_k=12)
+    assert rt.theta == est.theta
+    assert np.array_equal(rt.hashes, est.hashes)
+    assert rt.seed_hash == SEED_HASH  # derived from caller seed
+    empty_img = struct.pack("<BBBBBBH", 3, 1, 3, 12, 13, 0, 0) + \
+        struct.pack("<if", 0, 0.0) + struct.pack("<q", int(MAX_THETA))
+    assert from_java_bytes(empty_img).is_empty
+    with pytest.raises(ValueError, match="preLongs"):
+        from_java_bytes(bytes([2, 1, 3, 0, 0, 0, 0, 0]) + b"\0" * 16)
+
+
+def test_serVer2_heapify():
+    """ForwardCompatibility.heapify2to3:87-118: preLongs 1/2/3 forms,
+    seed hash checked like serVer 3."""
+    exact = theta.sketch_longs(np.arange(500), lg_k=12)
+    rt = from_java_bytes(_v2_image(exact, 2))
+    assert rt.theta == MAX_THETA
+    assert np.array_equal(rt.hashes, exact.hashes)
+    est = theta.sketch_longs(np.arange(50_000), lg_k=12)
+    rt = from_java_bytes(_v2_image(est, 3), lg_k=12)
+    assert rt.theta == est.theta
+    assert np.array_equal(rt.hashes, est.hashes)
+    # preLongs 1 → empty
+    assert from_java_bytes(
+        struct.pack("<BBBBBBH", 1, 2, 3, 0, 0, 0x0A, SEED_HASH)).is_empty
+    # seed-hash mismatch rejected
+    bad = bytearray(_v2_image(exact, 2))
+    struct.pack_into("<H", bad, 6, SEED_HASH ^ 0x1111)
+    with pytest.raises(ValueError, match="seed-hash"):
+        from_java_bytes(bytes(bad))
