@@ -135,3 +135,58 @@ def incremental_sketch_stream(spark: SparkSession, stream: DataFrame,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def stateful_theta_distinct(stream: DataFrame, key_col: str, value_col: str,
+                            lg_k: int = 12):
+    """Custom stateful streaming operator via applyInPandasWithState
+    (the SURVEY §2.11 upgrade path, now implemented): per key, the
+    GroupState holds ONE compact theta-sketch image; every micro-batch
+    unions the batch's values into it and emits (key, estimate, n_seen).
+
+    This is the reference's update→merge lifecycle expressed as
+    Structured Streaming state — the sketch IS the state, bounded at
+    O(k) bytes per key regardless of stream length, and the union
+    algebra makes results independent of micro-batch boundaries
+    (asserted in tests/test_multimodal_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sketches import theta as theta_mod
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("distinct_estimate", T.DoubleType()),
+        T.StructField("rows_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("image", T.BinaryType()),
+        T.StructField("rows", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        batch_vals = []
+        n = 0
+        for pdf in pdfs:
+            batch_vals.append(pdf[value_col].dropna().to_numpy())
+            n += len(pdf)
+        import numpy as np
+        vals = np.concatenate(batch_vals) if batch_vals else np.empty(0)
+        part = theta_mod.sketch_longs(vals.astype(np.int64), lg_k)
+        if state.exists:
+            img, rows = state.get
+            merged = theta_mod.union(
+                theta_mod.ThetaSketch.from_bytes(bytes(img)), part)
+            rows = int(rows) + n
+        else:
+            merged, rows = part, n
+        state.update((bytearray(merged.to_bytes()), rows))
+        yield pd.DataFrame({"key": [str(key[0])],
+                            "distinct_estimate": [merged.estimate()],
+                            "rows_seen": [rows]})
+
+    return (stream.groupBy(F.col(key_col).cast("string").alias(key_col))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

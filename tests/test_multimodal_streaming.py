@@ -206,3 +206,39 @@ def test_ivf_cosine_topk_recall(spark):
     assert recall >= 0.3  # untrained quantizer floor; plan correctness
     # every IVF result is a real corpus vector and never the query
     assert all(q != n for q, n in approx)
+
+
+def test_stateful_theta_distinct_stream(spark, tmp_path):
+    """applyInPandasWithState theta state: feed the same rows in TWO
+    micro-batches (maxFilesPerTrigger=1); the final per-key estimate
+    must equal the exact distinct count over BOTH batches — the state
+    really persists and the union algebra hides batch boundaries."""
+    import pandas as pd
+    from datasketches_java_spark.streaming.incremental import (
+        stateful_theta_distinct)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 1: keys a,b ; batch 2: overlapping values for a, new key c
+    pd.DataFrame({"k": ["a"] * 60 + ["b"] * 40,
+                  "v": list(range(60)) + list(range(40))}) \
+        .to_parquet(src / "b1.parquet")
+    pd.DataFrame({"k": ["a"] * 50 + ["c"] * 30,
+                  "v": list(range(30, 80)) + list(range(30))}) \
+        .to_parquet(src / "b2.parquet")
+    stream = (spark.readStream.schema("k string, v long")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = stateful_theta_distinct(stream, "k", "v", lg_k=12)
+    q = (out.writeStream.format("memory").queryName("theta_state")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM theta_state").collect()
+    # last emission per key wins (update mode emits per batch)
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = (r["distinct_estimate"], r["rows_seen"])
+    assert round(latest["a"][0]) == 80   # 0..79 across both batches
+    assert latest["a"][1] == 110
+    assert round(latest["b"][0]) == 40
+    assert round(latest["c"][0]) == 30
