@@ -1,0 +1,59 @@
+"""Physical-plan regression guards.
+
+The round-1 verdict flagged three O(n²) CartesianProduct queries; the
+round-2 rewrites replaced them with equi-join/blocked plans.  These
+tests pin that property so a refactor can't silently reintroduce a
+cartesian, and check the verification join keeps its shuffle-hash
+shape (sort-merge over array payloads anti-scales — BENCH.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("qname", [
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "embedding_dedup_clusters",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "lsh_dup_pairs_documents",
+])
+def test_no_cartesian_product(spark, qname):
+    import __spark_entry__ as entry
+    df = entry.queries()[qname](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{qname} regressed to a cartesian"
+
+
+def test_verify_join_is_shuffle_hash(spark):
+    """verify_pairs must not sort-merge the shingle-array side."""
+    from pyspark.sql import functions as F
+    from datasketches_java_spark.operators.lsh import (
+        add_signatures, band_buckets, candidate_pairs, verify_pairs)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = add_signatures(docs.select("doc_id", "text"), "text") \
+        .localCheckpoint(eager=False)
+    pairs = candidate_pairs(band_buckets(sig, "doc_id"), "doc_id")
+    plan = _physical_plan(verify_pairs(pairs, sig, "doc_id"))
+    assert "ShuffledHashJoin" in plan
+    # the fat-array side must not be sorted by a sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: the signature path
+    reads only (doc_id, text), never the full documents schema."""
+    from datasketches_java_spark.operators.lsh import add_signatures
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _physical_plan(
+        add_signatures(docs.select("doc_id", "text"), "text"))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, "no parquet scan found"
+    assert all("lang" not in ln and "url" not in ln for ln in scan_lines)
