@@ -71,8 +71,16 @@ def cosine_topk_blas(queries: DataFrame, corpus: DataFrame, id_col: str,
 
     Query matrix rides to executors via closure capture (equivalent of
     a broadcast variable); per batch: one (b x d)·(d x q) matmul, then
-    argpartition for the local top-k — the shuffle only carries
-    candidates.
+    a tie-aware local top-(k+1) — the shuffle only carries candidates,
+    O(#queries × (k+1) × #partitions) rows.
+
+    BOUND (by design): ``queries.collect()`` materializes the query
+    set on the driver — ANN semantics presuppose a query set that is
+    small relative to the corpus; the practical ceiling is
+    ~driver_mem / (d × 8 B) vectors (e.g. ~10^6 queries × d=1024 ≈
+    8 GB).  For query sets beyond that, use ``simhash_ann_buckets`` /
+    ``ivf_cosine_topk`` (fully distributed equi-join plans, no driver
+    materialization).
     """
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
