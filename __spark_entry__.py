@@ -345,13 +345,20 @@ def _q_fdt_parts_per_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_exact_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keyed on xxhash64(normalized text): the groupBy and
+    join shuffle 8-byte keys, not document-length strings (at 100 TB
+    the norm string would cross the wire twice otherwise).  64-bit
+    collision risk is ~n²/2^65 (≈3e-7 at 10^9 docs) and biases only
+    toward over-grouping; a collision-confirming re-check on `norm`
+    can be layered on when that bound is unacceptable."""
     docs = _read(spark, sf, "documents")
     norm = F.lower(F.regexp_replace("text", r"\s+", " "))
-    canon = docs.groupBy(norm.alias("norm")).agg(
+    key = F.xxhash64(norm)
+    canon = docs.groupBy(key.alias("normkey")).agg(
         F.min("doc_id").alias("canonical_id"),
         F.count("*").alias("group_size"))
-    return (docs.withColumn("norm", norm)
-            .join(canon, on="norm")
+    return (docs.withColumn("normkey", key)
+            .join(canon, on="normkey")
             .select("doc_id", "canonical_id", "group_size")
             .orderBy("doc_id"))
 
@@ -363,7 +370,12 @@ def _q_lsh_dup_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.operators.lsh import (
         add_signatures, band_buckets, candidate_pairs)
     docs = _read(spark, sf, "documents")
-    sig = add_signatures(docs.select("doc_id", "text"), "text").persist()
+    # lazy localCheckpoint, not persist(): computes once for the three
+    # consumers below, and the blocks are released by the ContextCleaner
+    # when this DataFrame is GC'd — a harness running all queries in one
+    # session doesn't accumulate cached signature blocks.
+    sig = (add_signatures(docs.select("doc_id", "text"), "text")
+           .localCheckpoint(eager=False))
     pairs = candidate_pairs(band_buckets(sig, "doc_id"), "doc_id")
     sh = sig.select("doc_id", "shingles")
     joined = (pairs
@@ -433,7 +445,10 @@ def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.operators.lsh import (
         add_signatures, simhash_hamming_pairs)
     docs = _read(spark, sf, "documents")
-    sig = add_signatures(docs.select("doc_id", "text"), "text").persist()
+    # lazy localCheckpoint for the same cache-lifetime hygiene as
+    # _q_lsh_dup_pairs_documents (blocks GC'd with the DataFrame).
+    sig = (add_signatures(docs.select("doc_id", "text"), "text")
+           .localCheckpoint(eager=False))
     pairs = simhash_hamming_pairs(sig, "doc_id", max_hamming=12)
     sh = sig.select("doc_id", "shingles")
     out = (pairs
@@ -716,8 +731,8 @@ def oracle_sql() -> dict[str, str]:
         "tuple_spend_by_nation": """
             SELECT c.c_nationkey,
                    COUNT(DISTINCT o.o_custkey) AS distinct_customers,
-                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
-                     AS spend_cents
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1 ORDER BY 1""",
         "fdt_parts_per_supplier": """
