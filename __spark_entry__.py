@@ -373,8 +373,11 @@ def _q_lsh_dup_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     # lazy localCheckpoint, not persist(): computes once for the three
     # consumers below, and the blocks are released by the ContextCleaner
     # when this DataFrame is GC'd — a harness running all queries in one
-    # session doesn't accumulate cached signature blocks.
+    # session doesn't accumulate cached signature blocks.  text is
+    # dropped first so the checkpoint stores only what downstream reads
+    # (id + shingles + minhash), not the full documents.
     sig = (add_signatures(docs.select("doc_id", "text"), "text")
+           .select("doc_id", "shingles", "minhash")
            .localCheckpoint(eager=False))
     pairs = candidate_pairs(band_buckets(sig, "doc_id"), "doc_id")
     sh = sig.select("doc_id", "shingles")
@@ -446,8 +449,10 @@ def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
         add_signatures, simhash_hamming_pairs)
     docs = _read(spark, sf, "documents")
     # lazy localCheckpoint for the same cache-lifetime hygiene as
-    # _q_lsh_dup_pairs_documents (blocks GC'd with the DataFrame).
+    # _q_lsh_dup_pairs_documents (blocks GC'd with the DataFrame),
+    # text/minhash dropped before materialization.
     sig = (add_signatures(docs.select("doc_id", "text"), "text")
+           .select("doc_id", "shingles", "simhash")
            .localCheckpoint(eager=False))
     pairs = simhash_hamming_pairs(sig, "doc_id", max_hamming=12)
     sh = sig.select("doc_id", "shingles")
