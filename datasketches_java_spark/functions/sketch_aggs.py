@@ -439,6 +439,49 @@ def tuple_sum_value_long(dim: int = 0) -> Callable:
     return s
 
 
+def tuple_to_java(summary: str = "int_java") -> Callable:
+    """Engine tuple image → reference serVer-3 tuple CompactSketch
+    image (tuple/CompactSketch.java:199-249 layout; summary codec
+    per sketches/tuple_serde)."""
+    @F.pandas_udf(T.BinaryType())
+    def conv(images: pd.Series) -> pd.Series:
+        from ..sketches import tuple_serde
+        from ..sketches.tuple import TupleSketch
+        return images.map(
+            lambda b: tuple_serde.to_java_bytes(
+                TupleSketch.from_bytes(b), summary))
+    return conv
+
+
+def tuple_from_java(summary: str = "int_java") -> Callable:
+    """Reference serVer-1/2/3 tuple CompactSketch image → engine image
+    (Sketches.heapifySketch counterpart)."""
+    @F.pandas_udf(T.BinaryType())
+    def conv(images: pd.Series) -> pd.Series:
+        from ..sketches import tuple_serde
+        return images.map(
+            lambda b: tuple_serde.from_java_bytes(b, summary).to_bytes())
+    return conv
+
+
+@F.pandas_udf(T.BinaryType())
+def aod_to_java(images: pd.Series) -> pd.Series:
+    """Engine tuple image (float64 values) → reference ArrayOfDoubles
+    CompactSketch serVer-1 image."""
+    from ..sketches import tuple_serde
+    from ..sketches.tuple import TupleSketch
+    return images.map(
+        lambda b: tuple_serde.aod_to_java_bytes(TupleSketch.from_bytes(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def aod_from_java(images: pd.Series) -> pd.Series:
+    """Reference ArrayOfDoubles CompactSketch image → engine image."""
+    from ..sketches import tuple_serde
+    return images.map(
+        lambda b: tuple_serde.aod_from_java_bytes(b).to_bytes())
+
+
 @F.pandas_udf(T.DoubleType())
 def tuple_jaccard_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaccard estimate of two tuple-sketch images
