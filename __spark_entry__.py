@@ -231,6 +231,42 @@ def _q_req_quantiles_acctbal(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("c_nationkey"))
 
 
+def _q_kll_longs_orderdate(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic-item KLL over LONGS (kll/KllLongsSketch.java analogue):
+    p25/p50/p75 of o_orderdate as epoch DAYS (timezone-free — the
+    NTZ timestamp maps to a date identically in Spark and DuckDB).
+    Exact mode at this SF (k above n), so the quantiles are exact
+    order statistics and hash-match the cume_dist oracle."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        kll_items_quantiles, kll_items_sketch_agg)
+    orders = _read(spark, sf, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("epoch_d"))
+    sk = kll_items_sketch_agg(orders, "epoch_d", k=16384, dtype="long")
+    q = kll_items_quantiles([0.25, 0.5, 0.75], "long")
+    return (sk.select(q("kll_items_sketch").alias("qs"))
+            .select(F.col("qs")[0].alias("q25"),
+                    F.col("qs")[1].alias("q50"),
+                    F.col("qs")[2].alias("q75")))
+
+
+def _q_kll_strings_custname(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic-item KLL over STRINGS (quantiles/ItemsSketch.java:70
+    comparator contract): lexicographic p25/p50/p75 of c_name.
+    Code-point order == DuckDB/Spark binary UTF-8 collation on this
+    ASCII column, so exact-mode quantiles hash-match the oracle."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        kll_items_quantiles, kll_items_sketch_agg)
+    cust = _read(spark, sf, "customer")
+    sk = kll_items_sketch_agg(cust, "c_name", k=4096, dtype="string")
+    q = kll_items_quantiles([0.25, 0.5, 0.75], "string")
+    return (sk.select(q("kll_items_sketch").alias("qs"))
+            .select(F.col("qs")[0].alias("q25"),
+                    F.col("qs")[1].alias("q50"),
+                    F.col("qs")[2].alias("q75")))
+
+
 def _q_kll_price_stats(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         kll_max, kll_min, kll_n, kll_sketch_agg)
@@ -638,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles_acctbal_by_nation": _q_kll_acctbal_by_nation,
         "req_quantiles_acctbal_by_nation": _q_req_quantiles_acctbal,
         "kll_price_stats": _q_kll_price_stats,
+        "kll_longs_orderdate_quantiles": _q_kll_longs_orderdate,
+        "kll_strings_custname_quantiles": _q_kll_strings_custname,
         "freq_orderpriority_counts": _q_freq_orderpriority,
         "freq_heavy_suppliers": _q_freq_heavy_suppliers,
         "reservoir_nation_cover": _q_reservoir_nations,
@@ -714,6 +752,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(c_acctbal) FILTER (WHERE cd >= 0.5)  AS q50,
                    MIN(c_acctbal) FILTER (WHERE cd >= 0.75) AS q75
             FROM r GROUP BY 1 ORDER BY 1""",
+        "kll_longs_orderdate_quantiles": """
+            WITH r AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) AS BIGINT) v,
+                              cume_dist() OVER (ORDER BY CAST(o_orderdate AS DATE)) cd
+                       FROM orders)
+            SELECT MIN(v) FILTER (WHERE cd >= 0.25) AS q25,
+                   MIN(v) FILTER (WHERE cd >= 0.5)  AS q50,
+                   MIN(v) FILTER (WHERE cd >= 0.75) AS q75
+            FROM r""",
+        "kll_strings_custname_quantiles": """
+            WITH r AS (SELECT c_name v,
+                              cume_dist() OVER (ORDER BY c_name) cd
+                       FROM customer WHERE c_name IS NOT NULL)
+            SELECT MIN(v) FILTER (WHERE cd >= 0.25) AS q25,
+                   MIN(v) FILTER (WHERE cd >= 0.5)  AS q50,
+                   MIN(v) FILTER (WHERE cd >= 0.75) AS q75
+            FROM r""",
         "kll_price_stats": """
             SELECT count(l_extendedprice) AS n,
                    min(l_extendedprice) AS min_price,

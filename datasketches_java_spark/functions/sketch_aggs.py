@@ -252,6 +252,55 @@ def kll_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
     return _two_phase(df, by, [col], build, merge, "kll_sketch")
 
 
+def kll_items_sketch_agg(df: DataFrame, col: str,
+                         by: list[str] | None = None,
+                         k: int = KLL_DEFAULT_K,
+                         dtype: str = "long") -> DataFrame:
+    """Generic-item KLL (kll/KllLongsSketch.java dtype analogue;
+    quantiles/ItemsSketch.java:70 comparator contract) over a long or
+    string column — same two-phase update/merge shape as the doubles
+    agg."""
+    from ..sketches.kll_items import KllItemsSketch
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        vals = grp[col].dropna()
+        if dtype == "long":
+            vals = vals.to_numpy().astype(np.int64)
+        else:
+            vals = vals.to_numpy(dtype=object)
+        return KllItemsSketch.new(k, dtype).update_batch(vals).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        out = KllItemsSketch.new(k, dtype)
+        for b in imgs:
+            out.merge(KllItemsSketch.from_bytes(b))
+        return out.to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "kll_items_sketch")
+
+
+def kll_items_quantiles(ranks: list[float], dtype: str = "long",
+                        inclusive: bool = True) -> Callable:
+    elem = T.LongType() if dtype == "long" else T.StringType()
+
+    @F.pandas_udf(T.ArrayType(elem))
+    def qs(images: pd.Series) -> pd.Series:
+        from ..sketches.kll_items import KllItemsSketch
+        return images.map(
+            lambda b: KllItemsSketch.from_bytes(b).quantiles(ranks, inclusive))
+    return qs
+
+
+def kll_items_rank(value, inclusive: bool = True) -> Callable:
+    @F.pandas_udf(T.DoubleType())
+    def r(images: pd.Series) -> pd.Series:
+        from ..sketches.kll_items import KllItemsSketch
+        return images.map(
+            lambda b: KllItemsSketch.from_bytes(b).rank(value, inclusive))
+    return r
+
+
 def kll_quantile(rank: float, inclusive: bool = True) -> Callable:
     @F.pandas_udf(T.DoubleType())
     def q(images: pd.Series) -> pd.Series:
