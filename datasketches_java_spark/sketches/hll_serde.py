@@ -11,11 +11,15 @@ hll/ToByteArrayImpl.java:57-97 (little-endian):
   @40 2^lgK register bytes
 
 Flags: 1=bigEndian, 2=readOnly, 4=empty, 8=compact, 16=outOfOrder
-(PreambleUtil.java:135-140).  Scope: we read and write the HLL_8
-dense form only — the engine's native layout (SURVEY §2.2: HLL_4
-nibble/aux and the LIST/SET warm-up modes are out of scope by design);
-images in those forms are rejected with a clear error rather than
-silently misread.  We always set the out-of-order flag (our estimator
+(PreambleUtil.java:135-140).  Scope: we WRITE the HLL_8 dense form
+only (the engine's native layout), and READ every reference form —
+HLL_8/HLL_6/HLL_4 dense (incl. the HLL_4 AuxHashMap exception array)
+and the LIST/SET coupon warm-up modes — promoting to HLL_8 registers
+on heapify, which preserves estimates exactly (the reference's own
+cross-type invariant, hll/CrossCountingTest.java:33-40).  That closes
+the most common real-world interop case: HLL_4 is the reference's
+default target type (hll/HllSketch.java:80).
+We always set the out-of-order flag (our estimator
 is merge-based, so a reference reader correctly selects its composite
 estimator), and we reconstruct the reference's running accumulators
 (kxq0/kxq1 split at register value 32, curMin/numAtCurMin) from the
@@ -66,14 +70,88 @@ def to_java_bytes(sk: HllSketch) -> bytes:
     return hdr + body + regs.astype(np.uint8).tobytes()
 
 
+_FLAG_COMPACT = 8
+_AUX_TOKEN = 0xF  # hll/HllUtil.java:64
+_KEY_BITS = 26    # coupon split: low 26 bits key, high 6 bits value
+
+
+def _coupons_to_regs(coupons: np.ndarray, lg_k: int) -> np.ndarray:
+    """Promote LIST/SET coupons into an HLL_8 register array:
+    slot = coupon & (K-1), value = coupon >>> 26
+    (hll/Hll8Array.couponUpdate, hll/HllUtil.java:132-140)."""
+    m = 1 << lg_k
+    regs = np.zeros(m, dtype=np.uint8)
+    c = coupons.astype(np.uint32)
+    c = c[c != 0]  # EMPTY table slots
+    slots = (c & np.uint32(m - 1)).astype(np.int64)
+    vals = (c >> np.uint32(_KEY_BITS)).astype(np.uint8)
+    np.maximum.at(regs, slots, vals)
+    return regs
+
+
+def _hll4_regs(buf: bytes, lg_k: int, cur_min: int, flags: int) -> np.ndarray:
+    """HLL_4 nibbles + AuxHashMap exceptions → HLL_8 registers
+    (hll/Hll4Array.java:99-107 getSlotValue; aux pairs per
+    hll/HeapAuxHashMap.heapify)."""
+    m = 1 << lg_k
+    raw = np.frombuffer(buf, dtype=np.uint8, count=m >> 1,
+                        offset=_HLL_BYTE_ARR_START)
+    nib = np.empty(m, dtype=np.uint8)
+    nib[0::2] = raw & 0xF        # even slot = low nibble
+    nib[1::2] = raw >> 4         # odd slot = high nibble
+    regs = nib + np.uint8(cur_min)
+    exc = nib == _AUX_TOKEN
+    if exc.any():
+        (aux_count,) = struct.unpack_from("<i", buf, 36)
+        aux_start = _HLL_BYTE_ARR_START + (m >> 1)
+        if flags & _FLAG_COMPACT:
+            n_ints = aux_count
+        else:  # updatable: open-address table of 2^lgArr ints
+            lg_arr = buf[4]
+            n_ints = 1 << lg_arr
+        pairs = np.frombuffer(buf, dtype="<u4", count=n_ints,
+                              offset=aux_start)
+        pairs = pairs[pairs != 0]
+        slots = (pairs & np.uint32(m - 1)).astype(np.int64)
+        vals = (pairs >> np.uint32(_KEY_BITS)).astype(np.uint8)
+        regs = regs.copy()
+        regs[slots] = vals
+        # any AUX_TOKEN slot must have been resolved by the aux map
+        if (regs[exc] == _AUX_TOKEN + cur_min).any() and aux_count == 0:
+            raise ValueError("HLL_4 image has AUX_TOKEN nibbles but no aux map")
+    return regs
+
+
+def _hll6_regs(buf: bytes, lg_k: int) -> np.ndarray:
+    """HLL_6 6-bit packed registers → HLL_8 (hll/Hll6Array.get6Bit:
+    slot i occupies bits [6i, 6i+6) little-endian)."""
+    m = 1 << lg_k
+    nbytes = (6 * m + 7) // 8
+    raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes,
+                        offset=_HLL_BYTE_ARR_START)
+    bits = np.unpackbits(raw, bitorder="little")[:6 * m].reshape(m, 6)
+    weights = (1 << np.arange(6)).astype(np.uint8)
+    return (bits * weights).sum(axis=1).astype(np.uint8)
+
+
 def from_java_bytes(buf: bytes,
                     seed: int = DEFAULT_UPDATE_SEED) -> HllSketch:
-    """Heapify an HLL_8 dense image (hll/HllSketch.heapify
-    counterpart for the engine's supported form).  LIST/SET warm-up
-    modes and HLL_4/6 register packings are rejected explicitly."""
+    """Heapify ANY reference HLL image into the engine's HLL_8 form
+    (hll/HllSketch.heapify counterpart).  Supported on read:
+
+      - HLL-mode HLL_8 dense (the engine's native layout),
+      - HLL-mode HLL_4 (nibbles + AuxHashMap exceptions, compact or
+        updatable aux — hll/Hll4Array.java, hll/AuxHashMap.java) and
+        HLL_6 (6-bit packed, hll/Hll6Array.java), promoted to HLL_8
+        registers — estimates are identical by the reference's own
+        cross-type invariant (hll/CrossCountingTest.java:33-40),
+      - LIST/SET coupon warm-up images (hll/CouponList.java:107,
+        hll/CouponHashSet.java), promoted coupon-by-coupon.
+
+    The write path stays HLL_8 (to_java_bytes)."""
     if len(buf) < 8:
         raise ValueError("HLL image too short")
-    pre_ints, ser_ver, fam, lg_k, _lg_arr, _flags, _cur_min, mode = \
+    pre_ints, ser_ver, fam, lg_k, lg_arr, flags, byte6, mode = \
         struct.unpack_from("<BBBBBBBB", buf, 0)
     if ser_ver != _SER_VER:
         raise ValueError(f"unsupported HLL serVer {ser_ver}")
@@ -81,17 +159,32 @@ def from_java_bytes(buf: bytes,
         raise ValueError(f"family {fam} is not an HLL image (need 7)")
     cur_mode = mode & 0x3
     tgt_type = (mode >> 2) & 0x3
-    if cur_mode != 2:
-        raise ValueError(
-            f"only HLL-mode images supported (curMode={cur_mode}; "
-            "LIST/SET warm-up forms are out of scope — see module doc)")
-    if tgt_type != 2:
-        raise ValueError(
-            f"only HLL_8 register packing supported (tgtHllType={tgt_type}; "
-            "HLL_4/6 are out of scope by design, SURVEY §2.2)")
-    if pre_ints != _PRE_INTS_HLL:
-        raise ValueError(f"HLL-mode preInts must be 10, got {pre_ints}")
-    m = 1 << lg_k
-    regs = np.frombuffer(buf, dtype=np.uint8, count=m,
-                         offset=_HLL_BYTE_ARR_START).copy()
+
+    if cur_mode == 0:  # LIST (PI=2): count in byte 6, coupons at 8
+        if pre_ints != 2:
+            raise ValueError(f"LIST-mode preInts must be 2, got {pre_ints}")
+        count = byte6
+        coupons = np.frombuffer(buf, dtype="<u4", count=count, offset=8)
+        regs = _coupons_to_regs(coupons, lg_k)
+    elif cur_mode == 1:  # SET (PI=3): count int at 8, table at 12
+        if pre_ints != 3:
+            raise ValueError(f"SET-mode preInts must be 3, got {pre_ints}")
+        (count,) = struct.unpack_from("<i", buf, 8)
+        n_ints = count if flags & _FLAG_COMPACT else (1 << lg_arr)
+        coupons = np.frombuffer(buf, dtype="<u4", count=n_ints, offset=12)
+        regs = _coupons_to_regs(coupons, lg_k)
+    elif cur_mode == 2:  # HLL mode
+        if pre_ints != _PRE_INTS_HLL:
+            raise ValueError(f"HLL-mode preInts must be 10, got {pre_ints}")
+        if tgt_type == 2:      # HLL_8
+            regs = np.frombuffer(buf, dtype=np.uint8, count=1 << lg_k,
+                                 offset=_HLL_BYTE_ARR_START).copy()
+        elif tgt_type == 0:    # HLL_4
+            regs = _hll4_regs(buf, lg_k, byte6, flags)
+        elif tgt_type == 1:    # HLL_6
+            regs = _hll6_regs(buf, lg_k)
+        else:
+            raise ValueError(f"invalid tgtHllType {tgt_type}")
+    else:
+        raise ValueError(f"invalid curMode {cur_mode}")
     return HllSketch(lg_k, _seed_hash(seed), regs)

@@ -62,16 +62,151 @@ def test_union_through_wire_is_bit_exact():
     assert np.array_equal(via.regs, native.regs)
 
 
-def test_rejects_out_of_scope_forms():
+def test_rejects_corrupt_preambles():
     sk = hll.sketch_longs(np.arange(1000), lg_k=8)
     img = bytearray(to_java_bytes(sk))
-    img[7] = 0b1001  # HLL_8 + SET mode
-    with pytest.raises(ValueError, match="HLL-mode"):
+    img[7] = 0b1001  # claims SET mode but preInts is still 10
+    with pytest.raises(ValueError, match="SET-mode preInts"):
         from_java_bytes(bytes(img))
-    img[7] = 0b0010  # HLL_4 + HLL mode
-    with pytest.raises(ValueError, match="HLL_8"):
+    img[7] = 0b1000  # claims LIST mode, preInts 10
+    with pytest.raises(ValueError, match="LIST-mode preInts"):
         from_java_bytes(bytes(img))
     img[7] = 10
     img[2] = 3
     with pytest.raises(ValueError, match="family"):
         from_java_bytes(bytes(img))
+    img[2] = 7
+    img[7] = 0b1111  # curMode 3 is undefined
+    with pytest.raises(ValueError, match="curMode"):
+        from_java_bytes(bytes(img))
+
+
+# ---------------------------------------------------------------------------
+# HLL_4 / HLL_6 / LIST / SET read-path promotion (images built
+# byte-by-byte per hll/PreambleUtil.java:36-151; estimates must be
+# identical after heapify — hll/CrossCountingTest.java:33-40)
+# ---------------------------------------------------------------------------
+
+def _truth(lg_k: int, slots, vals) -> hll.HllSketch:
+    regs = np.zeros(1 << lg_k, dtype=np.uint8)
+    np.maximum.at(regs, np.asarray(slots), np.asarray(vals, dtype=np.uint8))
+    return hll.HllSketch(lg_k, hll._seed_hash(9001), regs)
+
+
+def _pre(pre_ints, lg_k, lg_arr, flags, byte6, mode) -> bytes:
+    return struct.pack("<BBBBBBBB", pre_ints, 1, 7, lg_k, lg_arr, flags,
+                       byte6, mode)
+
+
+def _coupon(slot, value, lg_k, noise=0):
+    # key = low-26 hash bits; bits lgK..25 are hash bits the slot mask
+    # must ignore — set them nonzero to prove the mask is applied
+    key = slot | (noise << lg_k) & ((1 << 26) - 1)
+    return (value << 26) | key
+
+
+def test_list_mode_promotes():
+    lg_k = 11
+    rng = np.random.default_rng(1)
+    slots = rng.integers(0, 1 << lg_k, 6)
+    vals = rng.integers(1, 30, 6)
+    coupons = np.asarray([
+        _coupon(int(s), int(v), lg_k, noise=i + 1)
+        for i, (s, v) in enumerate(zip(slots, vals))], dtype="<u4")
+    img = _pre(2, lg_k, 3, 0, len(coupons), 0b1000) + coupons.tobytes()
+    got = from_java_bytes(img)
+    exp = _truth(lg_k, slots, vals)
+    assert np.array_equal(got.regs, exp.regs)
+    assert got.estimate() == exp.estimate()
+
+
+@pytest.mark.parametrize("compact", [True, False])
+def test_set_mode_promotes(compact):
+    lg_k = 12
+    rng = np.random.default_rng(2)
+    slots = rng.integers(0, 1 << lg_k, 300)
+    vals = rng.integers(1, 40, 300)
+    coupons = np.asarray([
+        _coupon(int(s), int(v), lg_k, noise=i)
+        for i, (s, v) in enumerate(zip(slots, vals))], dtype="<u4")
+    lg_arr = 10
+    if compact:
+        payload, flags = coupons, 8
+    else:  # open-address table with EMPTY(0) slots interspersed
+        table = np.zeros(1 << lg_arr, dtype="<u4")
+        table[rng.choice(1 << lg_arr, size=len(coupons), replace=False)] \
+            = coupons
+        payload, flags = table, 0
+    img = (_pre(3, lg_k, lg_arr, flags, 0, 0b1001)
+           + struct.pack("<i", len(coupons)) + payload.tobytes())
+    got = from_java_bytes(img)
+    exp = _truth(lg_k, slots, vals)
+    assert np.array_equal(got.regs, exp.regs)
+    assert got.estimate() == exp.estimate()
+
+
+@pytest.mark.parametrize("compact_aux", [True, False])
+def test_hll4_promotes_with_aux_exceptions(compact_aux):
+    lg_k = 10
+    m = 1 << lg_k
+    sk = hll.sketch_longs(np.arange(200_000), lg_k=lg_k)
+    regs = sk.regs.copy()
+    cur_min = int(regs.min())
+    # force a couple of exception slots (value - curMin >= 15)
+    regs[7] = cur_min + 20
+    regs[m - 3] = cur_min + 33
+    nib = np.minimum(regs - cur_min, 15).astype(np.uint8)
+    packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+    exc_slots = np.nonzero(nib == 15)[0]
+    aux_pairs = np.asarray(
+        [(int(regs[s]) << 26) | int(s) for s in exc_slots], dtype="<u4")
+    lg_aux_arr = 4
+    if compact_aux:
+        aux_payload, flags = aux_pairs, 8
+    else:
+        table = np.zeros(1 << lg_aux_arr, dtype="<u4")
+        table[:len(aux_pairs)] = aux_pairs
+        aux_payload, flags = table, 0
+    img = (_pre(10, lg_k, lg_aux_arr, flags, cur_min, 0b0010)
+           + struct.pack("<dddii", 0.0, 0.0, 0.0, 0, len(aux_pairs))
+           + packed.tobytes() + aux_payload.tobytes())
+    got = from_java_bytes(img)
+    assert np.array_equal(got.regs, regs)
+    assert got.estimate() == hll.HllSketch(lg_k, sk.seed_hash, regs).estimate()
+
+
+def test_hll6_promotes():
+    lg_k = 9
+    m = 1 << lg_k
+    sk = hll.sketch_longs(np.arange(100_000), lg_k=lg_k)
+    regs = sk.regs
+    # pack 6-bit little-endian per hll/Hll6Array.put6Bit
+    bits = np.unpackbits(regs[:, None], axis=1, bitorder="little")[:, :6]
+    packed = np.packbits(bits.ravel(), bitorder="little")
+    img = (_pre(10, lg_k, 0, 0, 0, 0b0110)
+           + struct.pack("<dddii", 0.0, 0.0, 0.0, 0, 0)
+           + packed.tobytes())
+    got = from_java_bytes(img)
+    assert np.array_equal(got.regs, regs)
+    assert got.estimate() == sk.estimate()
+
+
+def test_promoted_hll4_merges_with_engine_sketch():
+    """A heapified HLL_4 image participates in engine unions like any
+    native sketch (the interop point of the read path)."""
+    lg_k = 10
+    a = hll.sketch_longs(np.arange(50_000), lg_k=lg_k)
+    cur_min = int(a.regs.min())
+    nib = np.minimum(a.regs - cur_min, 15).astype(np.uint8)
+    packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+    exc_slots = np.nonzero(nib == 15)[0]
+    aux = np.asarray([(int(a.regs[s]) << 26) | int(s) for s in exc_slots],
+                     dtype="<u4")
+    img = (_pre(10, lg_k, 0, 8, cur_min, 0b0010)
+           + struct.pack("<dddii", 0.0, 0.0, 0.0, 0, len(aux))
+           + packed.tobytes() + aux.tobytes())
+    promoted = from_java_bytes(img)
+    b = hll.sketch_longs(np.arange(25_000, 75_000), lg_k=lg_k)
+    merged = hll.union(promoted, b)
+    native = hll.union(a, b)
+    assert np.array_equal(merged.regs, native.regs)
