@@ -332,6 +332,21 @@ def _q_varopt_subset_sum(spark: SparkSession, sf: str) -> DataFrame:
                      .alias("retail_sum_mod3"))
 
 
+def _q_varopt_true_subset_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """TRUE VarOpt (heavy/light two-region algorithm,
+    sampling/VarOptItemsSketch.java:72) subset-sum — exact mode at
+    this SF (k above n), so the estimate equals the exact SQL sum.
+    Estimation-mode variance behavior is covered by
+    tests/test_varopt.py mirroring VarOptItemsSketchTest."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        varopt_sketch_agg, varopt_true_subset_sum)
+    part = _read(spark, sf, "part")
+    sk = varopt_sketch_agg(part, "p_partkey", "p_retailprice", k=65536)
+    ss = varopt_true_subset_sum(lambda it: it % 5 == 0)
+    return sk.select(F.round(ss("varopt_sketch"), 2)
+                     .alias("retail_sum_mod5"))
+
+
 def _q_theta_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
     """Batch-incremental path: per-half partial sketches unioned via the
     sketch-column merge (the checkpoint resume shape, SURVEY.md §2.11)."""
@@ -680,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_heavy_suppliers": _q_freq_heavy_suppliers,
         "reservoir_nation_cover": _q_reservoir_nations,
         "varopt_subset_sum_parts": _q_varopt_subset_sum,
+        "varopt_true_subset_sum_parts": _q_varopt_true_subset_sum,
         "theta_incremental_events": _q_theta_incremental_events,
         "tuple_spend_by_nation": _q_tuple_spend_by_nation,
         "fdt_parts_per_supplier": _q_fdt_parts_per_supplier,
@@ -785,6 +801,9 @@ def oracle_sql() -> dict[str, str]:
         "varopt_subset_sum_parts": """
             SELECT round(sum(p_retailprice), 2) AS retail_sum_mod3
             FROM part WHERE p_partkey % 3 = 0""",
+        "varopt_true_subset_sum_parts": """
+            SELECT round(sum(p_retailprice), 2) AS retail_sum_mod5
+            FROM part WHERE p_partkey % 5 = 0""",
         "theta_incremental_events": """
             SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY 1 ORDER BY 1""",

@@ -542,6 +542,42 @@ def tuple_jaccard_pair(a: pd.Series, b: pd.Series) -> pd.Series:
         for x, y in zip(a, b)])
 
 
+def varopt_sketch_agg(df: DataFrame, item_col: str, weight_col: str,
+                      by: list[str] | None = None, k: int = 1024) -> DataFrame:
+    """TRUE VarOpt two-phase aggregation (heavy/light two-region
+    algorithm, sampling/VarOptItemsSketch.java:72; merge via the
+    marked-item union, VarOptItemsUnion.java:205).  The vectorized
+    priority_sample_agg remains the batch-optimized alternative."""
+    from ..sketches.varopt import VarOptSketch, VarOptUnion
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        items = grp[item_col].to_numpy().astype(np.int64)
+        weights = grp[weight_col].to_numpy().astype(np.float64)
+        return VarOptSketch(k).update_batch(items, weights).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        u = VarOptUnion(k)
+        for b in imgs:
+            u.update(VarOptSketch.from_bytes(b))
+        return u.get_result().to_bytes()
+
+    return _two_phase(df, by, [item_col, weight_col], build, merge,
+                      "varopt_sketch")
+
+
+def varopt_true_subset_sum(predicate) -> Callable:
+    """Unbiased subset-sum estimate from a TRUE VarOpt image
+    (VarOptItemsSketch.estimateSubsetSum:636)."""
+    @F.pandas_udf(T.DoubleType())
+    def s(images: pd.Series) -> pd.Series:
+        from ..sketches.varopt import VarOptSketch
+        return images.map(
+            lambda b: VarOptSketch.from_bytes(b)
+            .estimate_subset_sum(lambda it: predicate(it))["estimate"])
+    return s
+
+
 def fdt_topk(df: DataFrame, primary_cols: list[str], rest_col: str,
              k: int = 10, lg_k: int = DEFAULT_LG_K) -> DataFrame:
     """Frequent distinct tuples (fdt/FdtSketch.java:49) as the pure
