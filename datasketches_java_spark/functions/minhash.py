@@ -134,20 +134,51 @@ def winnow_batch(series: pd.Series, window: int = 8) -> list:
     per-doc k-gram hash sequences: minimum hash of each sliding
     window, deduplicated — the rolling-hash document fingerprint
     guaranteeing any shared run of ≥ window k-grams yields a shared
-    fingerprint.  Vectorized via a sliding-window-view min."""
-    out = []
-    for v in series:
-        if v is None or len(v) == 0:
-            out.append([])
-            continue
-        h = np.asarray(v, dtype=np.int64).view(np.uint64)
-        if h.shape[0] <= window:
-            out.append([np.int64(h.min().astype(np.int64))])
-            continue
-        sw = np.lib.stride_tricks.sliding_window_view(h, window)
-        mins = sw.min(axis=1).view(np.int64)
-        out.append(np.unique(mins).tolist())  # sorted + deduped, C-level
-    return out
+    fingerprint.
+
+    Fully batch-vectorized over the flat value buffer (the same
+    starts/lengths layout as minhash_flat): ONE sliding-window min
+    across all documents' concatenated hashes, a gather of the
+    in-document window positions, and one lexsort-based per-doc
+    dedupe — no per-document Python loop."""
+    values, starts, lengths = _flatten(series)
+    n = len(lengths)
+    results: list = [[] for _ in range(n)]
+    if values.size == 0:
+        return results
+
+    nonempty = np.nonzero(lengths > 0)[0]
+    # per-doc global min covers every doc with length <= window
+    doc_min = np.minimum.reduceat(values, starts[nonempty]).view(np.int64)
+    short = lengths[nonempty] <= window
+    for i, mn in zip(nonempty[short], doc_min[short]):
+        results[i] = [int(mn)]
+
+    long_docs = nonempty[~short]
+    if long_docs.size == 0:
+        return results
+    # one windowed min over the whole flat buffer; windows that span
+    # document boundaries exist in `sw` but are never gathered below
+    sw = np.lib.stride_tricks.sliding_window_view(values, window).min(axis=1)
+    n_wins = lengths[long_docs] - window + 1
+    total = int(n_wins.sum())
+    doc_rep = np.repeat(np.arange(long_docs.size), n_wins)
+    # position within each doc: global arange minus each doc's offset
+    win_off = np.zeros(long_docs.size, dtype=np.int64)
+    np.cumsum(n_wins[:-1], out=win_off[1:])
+    pos = np.repeat(starts[long_docs] - win_off, n_wins) + np.arange(total)
+    w = sw[pos].view(np.int64)
+    # per-doc sorted dedupe in one lexsort
+    order = np.lexsort((w, doc_rep))
+    ds, ws = doc_rep[order], w[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (ws[1:] != ws[:-1])
+    ds, ws = ds[keep], ws[keep]
+    counts = np.bincount(ds, minlength=long_docs.size)
+    bounds = np.cumsum(counts[:-1])
+    for i, chunk in zip(long_docs, np.split(ws, bounds)):
+        results[i] = chunk.tolist()
+    return results
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

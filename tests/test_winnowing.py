@@ -55,3 +55,29 @@ def test_winnow_spark_udf(spark):
            .select("fp").collect())
     assert all(len(r["fp"]) > 0 for r in out)
     assert out[0]["fp"] != out[1]["fp"]
+
+
+def test_winnow_vectorized_equals_per_doc_reference():
+    """The flat-buffer vectorized winnow must produce byte-identical
+    fingerprints to the straightforward per-document computation."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    docs = []
+    for n in [0, 1, 3, 8, 9, 40, 500, 7, 1000]:
+        docs.append(rng.integers(-2**62, 2**62, size=n).tolist() or None
+                    if n == 0 else
+                    rng.integers(-2**62, 2**62, size=n).tolist())
+    got = winnow_batch(pd.Series(docs), window=8)
+
+    def ref_one(v, window=8):
+        if v is None or len(v) == 0:
+            return []
+        h = np.asarray(v, dtype=np.int64).view(np.uint64)
+        if h.shape[0] <= window:
+            return [int(h.min().astype(np.int64))]
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        return np.unique(sw.min(axis=1).view(np.int64)).tolist()
+
+    for g, v in zip(got, docs):
+        assert g == ref_one(v)
