@@ -76,23 +76,26 @@ def to_java_bytes(sk: KllDoublesSketch) -> bytes:
 
 
 def from_java_bytes(buf: bytes) -> KllDoublesSketch:
-    """Heapify a compact KLL doubles image (KllDoublesSketch.heapify
-    counterpart for the compact form)."""
+    """Heapify a compact KLL image — doubles OR floats — into the
+    engine's doubles sketch (KllDoublesSketch/KllFloatsSketch.heapify
+    counterparts for the compact forms; float items widen losslessly
+    to float64, validated on the reference's own
+    kll_sketch_float_one_item_v1.sk golden)."""
     if len(buf) < 8:
         raise ValueError("KLL image too short")
     pre_ints, ser_ver, fam, flags, k, m, _u = struct.unpack_from(
         "<BBBBHBB", buf, 0)
     if fam != _FAMILY_KLL:
         raise ValueError(f"family {fam} is not a KLL image (need 15)")
-    if not flags & _FLAG_DOUBLES:
-        raise ValueError("float KLL images not supported (doubles only)")
+    is_double = bool(flags & _FLAG_DOUBLES)
+    fmt, width = ("<f8", 8) if is_double else ("<f4", 4)
     if flags & _FLAG_UPDATABLE or ser_ver == 3:
         raise ValueError("updatable-memory KLL format not supported")
     if flags & _FLAG_EMPTY:
         return KllDoublesSketch(k, 0, np.inf, -np.inf,
                                 [np.empty(0, np.float64)])
     if flags & _FLAG_SINGLE or ser_ver == _SER_VER_SINGLE:
-        item = struct.unpack_from("<d", buf, 8)[0]
+        item = float(np.frombuffer(buf, dtype=fmt, count=1, offset=8)[0])
         return KllDoublesSketch(k, 1, item, item,
                                 [np.array([item], np.float64)])
     if pre_ints != _PRE_INTS_FULL:
@@ -103,10 +106,12 @@ def from_java_bytes(buf: bytes) -> KllDoublesSketch:
     starts = np.frombuffer(buf, dtype="<i4", count=num_levels,
                            offset=off).astype(np.int64)
     off += num_levels * 4
-    mn, mx = struct.unpack_from("<dd", buf, off)
-    off += 16
-    retained = (len(buf) - off) // 8
-    items = np.frombuffer(buf, dtype="<f8", count=retained, offset=off)
+    mn, mx = (float(v) for v in
+              np.frombuffer(buf, dtype=fmt, count=2, offset=off))
+    off += 2 * width
+    retained = (len(buf) - off) // width
+    items = np.frombuffer(buf, dtype=fmt, count=retained,
+                          offset=off).astype(np.float64)
     # levels may carry a non-zero base offset (the reference serializes
     # raw in-memory offsets; items start at starts[0])
     rel = starts - starts[0]
@@ -116,3 +121,76 @@ def from_java_bytes(buf: bytes) -> KllDoublesSketch:
     if not flags & _FLAG_L0_SORTED and levels:
         levels[0] = np.sort(levels[0])
     return KllDoublesSketch(k, n, mn, mx, levels)
+
+
+# ---------------------------------------------------------------------------
+# classic quantiles (DoublesSketch) images — read path
+# ---------------------------------------------------------------------------
+
+_FAMILY_QUANTILES = 8
+_Q_FLAG_EMPTY = 4
+_Q_FLAG_COMPACT = 8
+
+
+def classic_doubles_from_java_bytes(buf: bytes) -> KllDoublesSketch:
+    """Heapify a CLASSIC quantiles DoublesSketch image (any serVer
+    1/2/3 — quantiles/PreambleUtil.java layout,
+    HeapUpdateDoublesSketch.heapifyInstance:126 +
+    srcMemoryToCombinedBuffer:280) into the engine's KLL form.
+
+    The classic sketch is a base buffer (weight-1 items) plus k-sized
+    levels where classic level i carries weight 2^(i+1) — exactly a
+    KLL level i+1 — so the state maps losslessly: KLL level 0 = base
+    buffer, KLL level i+1 = classic level i (present iff bit i of
+    n/(2k) is set).  This makes SURVEY §2.4's "classic subsumed by
+    KLL" concrete: legacy images from v0.3.0 on heapify and answer
+    quantile queries (validated on the reference's 8 in-tree
+    Qk128_n{50,1000}_v0.{3,6,8}*.sk goldens with its own expected
+    medians)."""
+    if len(buf) < 8:
+        raise ValueError("quantiles image too short")
+    _pre, ser_ver, fam, flags, k = struct.unpack_from("<BBBBH", buf, 0)
+    if fam != _FAMILY_QUANTILES:
+        raise ValueError(f"family {fam} is not a classic quantiles "
+                         f"image (need 8)")
+    if ser_ver not in (1, 2, 3):
+        raise ValueError(f"unsupported quantiles serVer {ser_ver}")
+    if flags & _Q_FLAG_EMPTY:
+        return KllDoublesSketch(k, 0, np.inf, -np.inf,
+                                [np.empty(0, np.float64)])
+    n = struct.unpack_from("<q", buf, 8)[0]
+    mn, mx = struct.unpack_from("<dd", buf, 16)
+    # serVer 1 carries an extra buffer-alloc long before the data
+    data_off = 40 if ser_ver == 1 else 32
+    compact = (ser_ver == 2) or bool(flags & _Q_FLAG_COMPACT)
+    bb_cnt = int(n % (2 * k))
+    bit_pattern = n // (2 * k)
+    base = np.frombuffer(buf, dtype="<f8", count=bb_cnt,
+                         offset=data_off).astype(np.float64)
+    levels = [np.sort(base)]
+    if compact:
+        off = data_off + bb_cnt * 8
+        bp, i = bit_pattern, 0
+        while bp:
+            if bp & 1:
+                lv = np.frombuffer(buf, dtype="<f8", count=k,
+                                   offset=off).astype(np.float64)
+                off += k * 8
+            else:
+                lv = np.empty(0, np.float64)
+            levels.append(lv)
+            bp >>= 1
+            i += 1
+    else:  # full combined buffer: levels at fixed offsets (2+i)*k
+        bp, i = bit_pattern, 0
+        while bp:
+            if bp & 1:
+                off = data_off + (2 + i) * k * 8
+                lv = np.frombuffer(buf, dtype="<f8", count=k,
+                                   offset=off).astype(np.float64)
+            else:
+                lv = np.empty(0, np.float64)
+            levels.append(lv)
+            bp >>= 1
+            i += 1
+    return KllDoublesSketch(k, n, float(mn), float(mx), levels)
