@@ -82,7 +82,10 @@ def test_merge_through_wire_matches_error_envelope():
 def test_rejections():
     with pytest.raises(ValueError, match="family"):
         from_java_bytes(struct.pack("<BBBBHBB", 2, 1, 3, 9, 200, 8, 0))
-    with pytest.raises(ValueError, match="doubles"):
-        from_java_bytes(struct.pack("<BBBBHBB", 2, 1, 15, 1, 200, 8, 0))
+    # empty FLOAT image (no doubles flag) now heapifies — float read
+    # support added in round 3 (kll_sketch_float_one_item_v1.sk golden)
+    empty_float = from_java_bytes(struct.pack("<BBBBHBB", 2, 1, 15, 1,
+                                              200, 8, 0))
+    assert empty_float.n == 0
     with pytest.raises(ValueError, match="updatable"):
         from_java_bytes(struct.pack("<BBBBHBB", 5, 3, 15, 8 | 16, 200, 8, 0))
