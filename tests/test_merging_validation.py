@@ -126,3 +126,83 @@ def test_theta_serde_transparent_to_merge():
         for p in parts])
     assert via_wire.theta == direct.theta
     assert np.array_equal(via_wire.hashes, direct.hashes)
+
+
+# -- round-3 families: generic-item KLL and true VarOpt ---------------------
+
+@pytest.mark.parametrize("k", [200, 1024])
+@pytest.mark.parametrize("n", [3_000, 120_000])
+@pytest.mark.parametrize("splits", [2, 9])
+def test_kll_items_longs_merge_within_rank_error(k, n, splits):
+    """Merged generic-item sketch answers within the analytic rank
+    error of truth, like the doubles validation above."""
+    from datasketches_java_spark.sketches.kll_items import (
+        KllItemsSketch, rank_error)
+    xs = np.arange(n, dtype=np.int64)
+    np.random.default_rng(n + splits).shuffle(xs)
+    merged = KllItemsSketch.new(k=k, dtype="long")
+    for part in np.array_split(xs, splits):
+        merged.merge(KllItemsSketch.new(k=k, dtype="long").update_batch(part))
+    assert merged.n == n
+    eps = rank_error(k)
+    for r in (0.05, 0.25, 0.5, 0.75, 0.95):
+        q = merged.quantile(r)
+        assert abs((q + 1) / n - r) < 3 * eps
+
+
+@pytest.mark.parametrize("splits", [2, 5, 16])
+def test_kll_items_merge_order_insensitive_n_and_extremes(splits):
+    from datasketches_java_spark.sketches.kll_items import KllItemsSketch
+    words = np.asarray([f"w{i:06d}" for i in range(20_000)], dtype=object)
+    np.random.default_rng(splits).shuffle(words)
+    parts = [KllItemsSketch.new(k=256, dtype="string").update_batch(p)
+             for p in np.array_split(words, splits)]
+    fwd = KllItemsSketch.new(k=256, dtype="string")
+    for p in parts:
+        fwd.merge(p)
+    assert fwd.n == 20_000
+    assert fwd.min_item == "w000000" and fwd.max_item == "w019999"
+
+
+@pytest.mark.parametrize("k", [64, 512])
+@pytest.mark.parametrize("splits", [2, 8])
+def test_varopt_union_weight_preservation_sweep(k, splits):
+    """Union of arbitrary splits preserves total weight exactly and
+    keeps the two-region invariant (every H weight >= result tau) —
+    the merge-correctness core of VarOptItemsUnionTest."""
+    from datasketches_java_spark.sketches.varopt import (
+        VarOptSketch, VarOptUnion)
+    rng = np.random.default_rng(k + splits)
+    n = 5_000
+    weights = rng.exponential(3.0, n) + 0.01
+    u = VarOptUnion(k)
+    for idx in np.array_split(np.arange(n), splits):
+        sk = VarOptSketch(k).update_batch(idx, weights[idx])
+        u.update(sk)
+    res = u.get_result()
+    assert res.n == n
+    assert abs(res.total_weight() / weights.sum() - 1.0) < 1e-9
+    assert res.num_samples() <= k
+    tau = res.tau()
+    assert all(e[0] >= tau - 1e-12 for e in res.heap)
+
+
+def test_varopt_subset_sum_unbiased_across_seeds():
+    """HT-estimator unbiasedness, empirically: the mean subset-sum
+    estimate over many independent sketches converges to truth
+    (within 3 standard errors)."""
+    from datasketches_java_spark.sketches.varopt import VarOptSketch
+    n, k, reps = 4_000, 128, 40
+    rng = np.random.default_rng(99)
+    weights = rng.exponential(1.0, n) + 0.01
+    truth = float(weights[np.arange(n) % 7 == 0].sum())
+    ests = []
+    for rep in range(reps):
+        sk = VarOptSketch(k, seed=1000 + rep)
+        order = rng.permutation(n)
+        sk.update_batch(order, weights[order])
+        ests.append(sk.estimate_subset_sum(
+            lambda it: it % 7 == 0)["estimate"])
+    ests = np.asarray(ests)
+    se = ests.std(ddof=1) / np.sqrt(reps)
+    assert abs(ests.mean() - truth) < 3 * se + 1e-9
