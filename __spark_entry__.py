@@ -532,6 +532,60 @@ def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _q_quality_filter_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data quality filtering: the deterministic [0,1]
+    quality proxy (length band + stopword presence − punctuation
+    excess), stopword-hit language ID, and the keep/drop decision a
+    filtering pipeline would apply — all pure codegen Column
+    expressions (functions/text.py), fully SQL-oracle-expressible."""
+    from datasketches_java_spark.functions.text import (
+        lang_guess, quality_score)
+    docs = _read(spark, sf, "documents")
+    q = quality_score("text")
+    return (docs.select(
+        "doc_id",
+        q.alias("quality"),
+        lang_guess("text").alias("lang_guess"),
+        (q >= F.lit(0.25)).alias("keep"))
+        .orderBy("doc_id"))
+
+
+def _quality_filter_oracle_sql() -> str:
+    from datasketches_java_spark.functions.text import STOPWORDS
+    sw = {lg: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+          for lg, ws in STOPWORDS.items()}
+    hit_cols = ",\n                   ".join(
+        f"len(list_intersect(list_distinct(toks), {sw[lg]})) h_{lg}"
+        for lg in sorted(STOPWORDS))
+    lang_structs = ", ".join(
+        f"{{'nh': -h_{lg}, 'lg': '{lg}'}}" for lg in sorted(STOPWORDS))
+    return f"""
+        WITH t AS (SELECT doc_id, text, {SHINGLE_TOKENIZE_SQL} toks
+                   FROM documents),
+        m AS (SELECT doc_id,
+                   len(toks)::DOUBLE tc,
+                   {hit_cols},
+                   CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text)
+                   ELSE 0.0 END pr
+              FROM t),
+        q AS (SELECT doc_id,
+                   round(greatest(least(
+                       0.5 * least(tc / 100.0, 1.0)
+                       + 0.5 * (h_en / 10.0)
+                       - 0.2 * least(pr * 5.0, 1.0), 1.0), 0.0), 6)
+                     AS quality,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0
+                        THEN 'und'
+                        ELSE list_sort([{lang_structs}])[1].lg
+                   END AS lang_guess
+              FROM m)
+        SELECT doc_id, quality, lang_guess,
+               quality >= 0.25 AS keep
+        FROM q ORDER BY doc_id"""
+
+
 def _q_embedding_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space dedup: connected components over the exact
     cosine ≥ 0.4 pair graph (block-BLAS pairs → int64-edge CC),
@@ -705,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_stats_documents": _q_text_stats_documents,
+        "quality_filter_documents": _q_quality_filter_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
@@ -884,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))
                      AS bpe_token_cnt
             FROM documents ORDER BY doc_id""",
+        "quality_filter_documents": _quality_filter_oracle_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
                        WHERE vec_id < 10),
