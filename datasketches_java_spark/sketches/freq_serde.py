@@ -91,3 +91,62 @@ def from_java_bytes(buf: bytes) -> ItemsSketch:
     keys = np.frombuffer(buf, dtype="<i8", count=active, offset=off)
     counts = {int(k): int(v) for k, v in zip(keys, values)}
     return ItemsSketch(max_map_size, counts, int(offset), int(stream_weight))
+
+
+# ---------------------------------------------------------------------------
+# generic-items (string-keyed) images — frequencies/ItemsSketch.java
+# ---------------------------------------------------------------------------
+#
+# Same preamble as LongsSketch; after the 4 preamble longs come the
+# activeItems VALUE longs, then the KEYS via an ArrayOfItemsSerDe —
+# here ArrayOfStringsSerDe (common/ArrayOfStringsSerDe.java:39:
+# int32 UTF-8 length + bytes per item), the form Hive/Pig string
+# columns use (ItemsSketch.toByteArray:494-535).
+
+
+def items_to_java_bytes(sk: ItemsSketch) -> bytes:
+    """Serialize to the reference's generic ItemsSketch image with
+    string keys (ArrayOfStringsSerDe payload)."""
+    lg_max = _lg(sk.max_map_size)
+    if not sk.counts:
+        return struct.pack("<BBBBBBBB", 1, _SER_VER, _FAMILY_FREQ, lg_max,
+                           _LG_MIN_MAP_SIZE, _FLAG_EMPTY, 0, 0)
+    keys = sorted(str(k) for k in sk.counts)
+    values = np.array([sk.counts[k] for k in keys], dtype=np.int64)
+    active = len(keys)
+    pre0 = struct.pack("<BBBBBBBB", 4, _SER_VER, _FAMILY_FREQ, lg_max,
+                       _lg_cur_map_size(active), 0, 0, 0)
+    pre = pre0 + struct.pack("<iiqq", active, 0, sk.stream_weight, sk.offset)
+    payload = []
+    for k in keys:
+        b = k.encode("utf-8")
+        payload.append(struct.pack("<i", len(b)))
+        payload.append(b)
+    return pre + values.astype("<i8").tobytes() + b"".join(payload)
+
+
+def items_from_java_bytes(buf: bytes) -> ItemsSketch:
+    """Heapify a string-keyed generic ItemsSketch image
+    (ItemsSketch.getInstance counterpart with ArrayOfStringsSerDe)."""
+    if len(buf) < 8:
+        raise ValueError("frequencies image too short")
+    pre_longs, ser_ver, fam, lg_max, _lg_cur, flags, _u1, _u2 = \
+        struct.unpack_from("<BBBBBBBB", buf, 0)
+    if ser_ver != _SER_VER:
+        raise ValueError(f"unsupported frequencies serVer {ser_ver}")
+    if fam != _FAMILY_FREQ:
+        raise ValueError(f"family {fam} is not a frequencies image (need 10)")
+    max_map_size = 1 << lg_max
+    if flags & _FLAG_EMPTY or pre_longs == 1:
+        return ItemsSketch(max_map_size)
+    active, _pad, stream_weight, offset = struct.unpack_from("<iiqq", buf, 8)
+    off = pre_longs << 3
+    values = np.frombuffer(buf, dtype="<i8", count=active, offset=off)
+    off += active * 8
+    counts = {}
+    for i in range(active):
+        (ln,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        counts[buf[off:off + ln].decode("utf-8")] = int(values[i])
+        off += ln
+    return ItemsSketch(max_map_size, counts, int(offset), int(stream_weight))
