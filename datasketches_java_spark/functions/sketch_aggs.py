@@ -36,12 +36,12 @@ from ..sketches.sampling import PrioritySample, ReservoirSketch
 _GLOBAL_KEY = "__ds_global__"
 
 
-def _utf8_flat(strings: pd.Series):
-    """pandas string Series → (flat uint8 buffer, starts, lengths) via
-    the Arrow string layout — no per-row Python; feeds the batch
-    murmur3 (same flat-buffer trick as minhash_flat)."""
+def _utf8_flat(strings: pd.Series, binary: bool = False):
+    """pandas string/bytes Series → (flat uint8 buffer, starts,
+    lengths) via the Arrow string/binary layout — no per-row Python;
+    feeds the batch murmur3 (same flat-buffer trick as minhash_flat)."""
     import pyarrow as pa
-    a = pa.array(strings, type=pa.string())
+    a = pa.array(strings, type=pa.binary() if binary else pa.string())
     bufs = a.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int32)[
         a.offset: a.offset + len(a) + 1].astype(np.int64)
@@ -89,34 +89,40 @@ def _two_phase(df: DataFrame, by: list[str], value_cols: list[str],
 def theta_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
                      lg_k: int = DEFAULT_LG_K,
                      seed: int = DEFAULT_UPDATE_SEED,
-                     prehashed: bool = False) -> DataFrame:
+                     prehashed: bool = False,
+                     p: float = 1.0) -> DataFrame:
     """groupBy(by).agg(theta_sketch(col)) -> by + theta_sketch:binary.
 
     Integral columns hash as update(long); STRING columns hash their
     UTF-8 bytes with the batch murmur3 (null/empty rejected) — exactly
-    theta/UpdateSketch.java:255, so sketches built here are
-    hash-equal to reference sketches of the same strings (cross-system
-    set operations work).  If ``prehashed`` the column already holds
-    63-bit update hashes (the union "backdoor",
-    theta/UnionImpl.java:328).
+    theta/UpdateSketch.java:255 — and BINARY columns hash raw bytes
+    (update(byte[]), :271; raw-media exact-dedup keys), so sketches
+    built here are hash-equal to reference sketches of the same items
+    (cross-system set operations work).  If ``prehashed`` the column
+    already holds 63-bit update hashes (the union "backdoor",
+    theta/UnionImpl.java:328).  ``p`` is the builder's up-front
+    sampling probability (UpdateSketchBuilder.setP).
     """
     from ..sketches.murmur3 import theta_hash_bytes_batch
     by = by or []
-    is_string = isinstance(df.schema[col].dataType, T.StringType)
+    dt = df.schema[col].dataType
+    is_string = isinstance(dt, T.StringType)
+    is_binary = isinstance(dt, T.BinaryType)
 
     def build(grp: pd.DataFrame) -> bytes:
         vals = grp[col].dropna()
         if prehashed:
             sk = theta.from_update_hashes(
-                vals.to_numpy().astype(np.uint64), lg_k, seed)
-        elif is_string:
-            vals = vals[vals != ""]  # empty rejected (UpdateSketch.java:255)
-            flat, starts, lengths = _utf8_flat(vals)
+                vals.to_numpy().astype(np.uint64), lg_k, seed, p)
+        elif is_string or is_binary:
+            # empty rejected (UpdateSketch.java:255,271)
+            vals = vals[vals.map(len) > 0] if is_binary else vals[vals != ""]
+            flat, starts, lengths = _utf8_flat(vals, binary=is_binary)
             uh = theta_hash_bytes_batch(flat, starts, lengths, seed)
-            sk = theta.from_update_hashes(uh, lg_k, seed)
+            sk = theta.from_update_hashes(uh, lg_k, seed, p)
         else:
             sk = theta.sketch_longs(
-                vals.to_numpy().astype(np.int64), lg_k, seed)
+                vals.to_numpy().astype(np.int64), lg_k, seed, p)
         return sk.to_bytes()
 
     def merge(imgs: list[bytes]) -> bytes:

@@ -146,35 +146,47 @@ def _rebuild(hashes: np.ndarray, theta: np.uint64, lg_k: int) -> tuple[np.ndarra
 
 
 def from_update_hashes(update_hashes: np.ndarray, lg_k: int = DEFAULT_LG_K,
-                       seed: int = DEFAULT_UPDATE_SEED) -> ThetaSketch:
+                       seed: int = DEFAULT_UPDATE_SEED,
+                       p: float = 1.0) -> ThetaSketch:
     """Build a sketch from already-murmured 63-bit update hashes.
 
     This is the merge-path "backdoor" of the reference
     (theta/UnionImpl.java:328 — the hash function is bypassed).
+
+    ``p`` is the up-front sampling probability
+    (UpdateSketchBuilder.setP, theta/UpdateSketchBuilder.java:199):
+    the sketch starts at theta = p·2^63, so hashes >= p·2^63 are
+    rejected on update and estimates stay unbiased for the full
+    stream.  p == 1.0 (the default) is the ordinary sketch.
     """
     _check_lg_k(lg_k)
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"sampling probability p must be in (0,1], got {p}")
+    theta0 = MAX_THETA if p == 1.0 else np.uint64(int(p * float(MAX_THETA)))
     h = np.asarray(update_hashes, dtype=np.uint64)
-    h = h[(h > 0) & (h < MAX_THETA)]
+    h = h[(h > 0) & (h < theta0)]
     h = np.unique(h)  # sorted + distinct
-    h, theta = _rebuild(h, MAX_THETA, lg_k)
+    h, theta = _rebuild(h, theta0, lg_k)
     return ThetaSketch(lg_k, compute_seed_hash(seed), theta, h)
 
 
 def sketch_longs(values: np.ndarray, lg_k: int = DEFAULT_LG_K,
-                 seed: int = DEFAULT_UPDATE_SEED) -> ThetaSketch:
+                 seed: int = DEFAULT_UPDATE_SEED,
+                 p: float = 1.0) -> ThetaSketch:
     """Sketch a batch of int64 values (update(long) overload,
     theta/UpdateSketch.java:220)."""
     uh = theta_hash_u64(np.asarray(values, dtype=np.int64), seed)
-    return from_update_hashes(uh, lg_k, seed)
+    return from_update_hashes(uh, lg_k, seed, p)
 
 
 def sketch_doubles(values: np.ndarray, lg_k: int = DEFAULT_LG_K,
-                   seed: int = DEFAULT_UPDATE_SEED) -> ThetaSketch:
+                   seed: int = DEFAULT_UPDATE_SEED,
+                   p: float = 1.0) -> ThetaSketch:
     """Sketch a batch of float64 values with the reference's
     canonicalization (−0.0 → 0.0, all NaNs collapse) before hashing
     the IEEE-754 bits (update(double), theta/UpdateSketch.java:236)."""
     from .hash_adaptors import canonical_double_bits
-    return sketch_longs(canonical_double_bits(values), lg_k, seed)
+    return sketch_longs(canonical_double_bits(values), lg_k, seed, p)
 
 
 def _check_seeds(a: ThetaSketch, b: ThetaSketch) -> None:

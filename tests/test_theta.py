@@ -155,3 +155,52 @@ def test_serde_roundtrip():
 def test_serde_stable_bytes():
     s = sk(np.arange(50_000))
     assert s.to_bytes() == th.ThetaSketch.from_bytes(s.to_bytes()).to_bytes()
+
+
+# -- round 3: sampling probability p and binary-column updates --------------
+
+def test_p_sampling_unbiased_and_bounded():
+    """UpdateSketchBuilder.setP semantics: theta starts at p*2^63,
+    estimates stay unbiased for the full stream."""
+    import numpy as np
+    from datasketches_java_spark.sketches import theta as th
+    n = 50_000
+    sk = th.sketch_longs(np.arange(n), lg_k=14, p=0.25)
+    assert sk.theta <= np.uint64(int(0.25 * float(th.MAX_THETA)))
+    est = sk.estimate()
+    assert abs(est - n) / n < 0.05
+    lb, ub = sk.bounds(2)
+    assert lb <= n <= ub
+    # serde + union with an ordinary sketch respects the theta rule
+    other = th.sketch_longs(np.arange(n, 2 * n), lg_k=14)
+    u = th.union(th.ThetaSketch.from_bytes(sk.to_bytes()), other)
+    assert u.theta <= sk.theta
+    assert abs(u.estimate() - 2 * n) / (2 * n) < 0.05
+
+
+def test_p_validation():
+    import numpy as np
+    import pytest
+    from datasketches_java_spark.sketches import theta as th
+    with pytest.raises(ValueError, match="sampling probability"):
+        th.sketch_longs(np.arange(5), p=0.0)
+    with pytest.raises(ValueError, match="sampling probability"):
+        th.sketch_longs(np.arange(5), p=1.5)
+
+
+def test_binary_column_agg_matches_string_agg(spark):
+    """update(byte[]) parity: a BINARY column of UTF-8 bytes must
+    produce the byte-identical sketch as the STRING column (the
+    reference hashes the same byte stream in both overloads)."""
+    from pyspark.sql import functions as F
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg)
+    df = spark.createDataFrame(
+        [(f"item-{i % 500}",) for i in range(2000)], ["s"])
+    df = df.withColumn("b", F.col("s").cast("binary"))
+    img_s = theta_sketch_agg(df, "s", lg_k=12).head()[0]
+    img_b = theta_sketch_agg(df, "b", lg_k=12).head()[0]
+    assert bytes(img_s) == bytes(img_b)
+    est = theta_sketch_agg(df, "b", lg_k=12).select(
+        theta_estimate("theta_sketch")).head()[0]
+    assert round(est) == 500
