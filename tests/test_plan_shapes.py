@@ -57,3 +57,49 @@ def test_scan_prunes_columns(spark):
     scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan_lines, "no parquet scan found"
     assert all("lang" not in ln and "url" not in ln for ln in scan_lines)
+
+
+def test_exact_dedup_joins_on_hashed_key(spark):
+    """Round-3 fix guard: the exact-dedup groupBy/join key is the
+    8-byte xxhash64 of the normalized text, never the document-length
+    string itself (shuffle-key width at 100 TB)."""
+    import __spark_entry__ as entry
+    df = entry.queries()["exact_dedup_documents"](
+        spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln or "HashAggregate" in ln]
+    assert any("normkey" in ln for ln in join_lines)
+    assert all("norm#" not in ln for ln in join_lines), (
+        "exact dedup shuffles the full normalized string again")
+
+
+def test_quality_filter_is_scan_project_only(spark):
+    """The quality-filter query must stay a single scan + codegen
+    projection (+ the final sort): no join, no aggregate, no UDF."""
+    import __spark_entry__ as entry
+    df = entry.queries()["quality_filter_documents"](
+        spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    for node in ("Join", "HashAggregate", "BatchEvalPython",
+                 "ArrowEvalPython", "FlatMapsInPandas"):
+        assert node not in plan, f"unexpected {node} in quality filter plan"
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("embedding" not in ln for ln in scan_lines)
+
+
+def test_two_phase_agg_single_shuffle(spark):
+    """The sketch aggregation contract: ONE exchange between partial
+    and final (images-only shuffle), pinned on the new items-KLL and
+    true-VarOpt aggs."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        kll_items_sketch_agg, varopt_sketch_agg)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for agg_df in (
+            kll_items_sketch_agg(docs.select("doc_id"), "doc_id",
+                                 k=1024, dtype="long"),
+            varopt_sketch_agg(
+                docs.selectExpr("doc_id", "cast(doc_id as double) w"),
+                "doc_id", "w", k=256)):
+        plan = _physical_plan(agg_df)
+        assert plan.count("Exchange") == 1, plan
