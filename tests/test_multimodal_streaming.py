@@ -242,3 +242,20 @@ def test_stateful_theta_distinct_stream(spark, tmp_path):
     assert latest["a"][1] == 110
     assert round(latest["b"][0]) == 40
     assert round(latest["c"][0]) == 30
+
+
+def test_media_exact_dedup_via_binary_theta(spark, media):
+    """Raw-media exact dedup: theta over the BINARY blob column
+    (update(byte[]) parity) counts distinct payloads and survives the
+    two-phase merge — the media-dedup key path at 100 TB (hash the
+    bytes once, shuffle 8-byte images, never the blobs)."""
+    from pyspark.sql import functions as F
+    from datasketches_java_spark.functions.sketch_aggs import (
+        theta_estimate, theta_sketch_agg)
+    # duplicate every blob 3x across partitions
+    tripled = media.union(media).union(media).repartition(8)
+    sk = theta_sketch_agg(tripled, "blob", lg_k=12)
+    est = sk.select(theta_estimate("theta_sketch")).head()[0]
+    assert round(est) == 20
+    exact = tripled.select(F.sha2("blob", 256)).distinct().count()
+    assert exact == 20
