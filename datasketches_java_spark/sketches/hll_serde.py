@@ -134,6 +134,34 @@ def _hll6_regs(buf: bytes, lg_k: int) -> np.ndarray:
     return (bits * weights).sum(axis=1).astype(np.uint8)
 
 
+def to_java_bytes_hll4(sk: HllSketch) -> bytes:
+    """Serialize to the reference's HLL_4 COMPACT image — the
+    reference's DEFAULT target type (hll/HllSketch.java:80), so our
+    sketches can feed default-config consumers at half the dense size:
+    nibbles hold value−curMin capped at 14; slots ≥ curMin+15 spill to
+    the compact AuxHashMap pair array (hll/Hll4Array.java,
+    hll/ToByteArrayImpl.toHllByteArray with compact=true).  The
+    preamble accumulators (kxq split, curMin, numAtCurMin) are
+    reconstructed from the registers exactly as in to_java_bytes."""
+    regs = sk.regs
+    cur_min = int(regs.min()) if regs.size else 0
+    num_at_cur_min = int(np.count_nonzero(regs == cur_min))
+    kxq0, kxq1 = _kxq_split(regs)
+    empty = bool(np.all(regs == 0))
+    flags = (_FLAG_READ_ONLY | _FLAG_OOO | _FLAG_COMPACT
+             | (_FLAG_EMPTY if empty else 0))
+    rel = regs.astype(np.int64) - cur_min
+    nib = np.minimum(rel, 15).astype(np.uint8)
+    packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+    exc_slots = np.nonzero(rel >= 15)[0]
+    aux = np.asarray([(int(regs[s]) << _KEY_BITS) | int(s)
+                      for s in exc_slots], dtype="<u4")
+    hdr = struct.pack("<BBBBBBBB", _PRE_INTS_HLL, _SER_VER, _FAMILY_HLL,
+                      sk.lg_k, 0, flags, cur_min, 0b0010)  # HLL_4 + HLL
+    body = struct.pack("<dddii", 0.0, kxq0, kxq1, num_at_cur_min, len(aux))
+    return hdr + body + packed.tobytes() + aux.tobytes()
+
+
 def from_java_bytes(buf: bytes,
                     seed: int = DEFAULT_UPDATE_SEED) -> HllSketch:
     """Heapify ANY reference HLL image into the engine's HLL_8 form

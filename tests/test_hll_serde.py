@@ -210,3 +210,38 @@ def test_promoted_hll4_merges_with_engine_sketch():
     merged = hll.union(promoted, b)
     native = hll.union(a, b)
     assert np.array_equal(merged.regs, native.regs)
+
+
+def test_hll4_write_roundtrip_and_size():
+    """Write path for the reference's default target type: HLL_4
+    compact images round-trip bit-exactly through the engine's own
+    HLL_4 reader and are ~half the HLL_8 dense size."""
+    from datasketches_java_spark.sketches.hll_serde import to_java_bytes_hll4
+    for n in (0, 100, 50_000, 400_000):
+        sk = hll.sketch_longs(np.arange(n), lg_k=11)
+        img4 = to_java_bytes_hll4(sk)
+        assert img4[7] == 0b0010          # HLL_4 + HLL mode
+        assert img4[5] & 8                # compact flag (aux is compact)
+        back = from_java_bytes(img4)
+        assert np.array_equal(back.regs, sk.regs)
+        assert back.estimate() == sk.estimate()
+    img8 = to_java_bytes(hll.sketch_longs(np.arange(50_000), lg_k=11))
+    img4 = to_java_bytes_hll4(hll.sketch_longs(np.arange(50_000), lg_k=11))
+    assert len(img4) <= len(img8) // 2 + 40 + 64  # nibbles + small aux
+
+
+def test_hll4_write_forces_aux_exceptions():
+    """A register >= curMin+15 must land in the aux pair array with
+    its exact value (the AuxHashMap contract)."""
+    import struct as _s
+    from datasketches_java_spark.sketches.hll_serde import to_java_bytes_hll4
+    sk = hll.sketch_longs(np.arange(300_000), lg_k=8)
+    regs = sk.regs.copy()
+    regs[5] = regs.min() + 25           # forced exception
+    forced = hll.HllSketch(sk.lg_k, sk.seed_hash, regs)
+    img = to_java_bytes_hll4(forced)
+    (aux_count,) = _s.unpack_from("<i", img, 36)
+    assert aux_count >= 1
+    back = from_java_bytes(img)
+    assert back.regs[5] == regs[5]
+    assert np.array_equal(back.regs, regs)
