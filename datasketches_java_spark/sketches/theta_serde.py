@@ -115,7 +115,7 @@ def from_java_bytes(buf: bytes, seed: int | None = DEFAULT_UPDATE_SEED,
         theta = MAX_THETA
         off = 16
     elif pre_longs == 3:
-        theta = np.uint64(struct.unpack_from("<q", buf, 16)[0])
+        theta = np.uint64(struct.unpack_from("<Q", buf, 16)[0])
         off = 24
     else:
         raise ValueError(f"unexpected preLongs {pre_longs} for compact image")
@@ -149,7 +149,7 @@ def _heapify_legacy(buf: bytes, ser_ver: int, pre_longs: int, fam: int,
         if not 1 <= fam <= 3:
             raise ValueError(f"serVer-1 family must be 1-3, got {fam}")
         count = struct.unpack_from("<i", buf, 8)[0]
-        theta = np.uint64(struct.unpack_from("<q", buf, 16)[0])
+        theta = np.uint64(struct.unpack_from("<Q", buf, 16)[0])
         if (count == 0 and theta == MAX_THETA) or len(buf) <= 24:
             return _empty()
         hashes = np.frombuffer(buf, dtype="<u8", count=count,
@@ -170,7 +170,7 @@ def _heapify_legacy(buf: bytes, ser_ver: int, pre_longs: int, fam: int,
     if count == 0:
         return _empty()
     theta = MAX_THETA if pre_longs == 2 else \
-        np.uint64(struct.unpack_from("<q", buf, 16)[0])
+        np.uint64(struct.unpack_from("<Q", buf, 16)[0])
     hashes = np.frombuffer(buf, dtype="<u8", count=count,
                            offset=pre_longs << 3).astype(np.uint64)
     lg = lg_k if lg_k is not None else _lg_k_for_count(count)

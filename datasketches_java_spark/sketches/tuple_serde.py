@@ -208,7 +208,7 @@ def from_java_bytes(buf: bytes, summary: str = "int_java",
         off = 5
         empty = bool(flags & _FL_EMPTY)
         if flags & _FL_THETA:
-            theta = np.uint64(struct.unpack_from("<q", buf, off)[0])
+            theta = np.uint64(struct.unpack_from("<Q", buf, off)[0])
             off += 8
         hashes = np.empty(0, np.uint64)
         values = np.empty((0, 1), np.float64)
@@ -241,7 +241,7 @@ def from_java_bytes(buf: bytes, summary: str = "int_java",
                 count = struct.unpack_from("<i", buf, off)[0]
                 off += 8  # count + 4 unused
                 if pre_longs > 2:
-                    theta = np.uint64(struct.unpack_from("<q", buf, off)[0])
+                    theta = np.uint64(struct.unpack_from("<Q", buf, off)[0])
                     off += 8
         hashes, values, mode_code = _decode_entries(buf, off, count, summary)
         values = values[:, None]
@@ -298,7 +298,7 @@ def aod_from_java_bytes(buf: bytes,
     """Heapify an AoD CompactSketch serVer-1 image
     (HeapArrayOfDoublesCompactSketch.java:104-146)."""
     flags, n_values, _ = _check_aod_header(buf, _TYPE_AOD_COMPACT, seed)
-    theta = np.uint64(struct.unpack_from("<q", buf, 8)[0])
+    theta = np.uint64(struct.unpack_from("<Q", buf, 8)[0])
     hashes = np.empty(0, np.uint64)
     values = np.empty((0, n_values), np.float64)
     if flags & _FA_HAS_ENTRIES:
@@ -318,7 +318,7 @@ def _aod_qs_from_java_bytes(buf: bytes, seed: int | None) -> TupleSketch:
     empty table slots and are dropped; retained entries come out
     sorted (our canonical compact order)."""
     flags, n_values, _ = _check_aod_header(buf, _TYPE_AOD_QS, seed)
-    theta = np.uint64(struct.unpack_from("<q", buf, 8)[0])
+    theta = np.uint64(struct.unpack_from("<Q", buf, 8)[0])
     lg_nom = buf[16]
     lg_cur_cap = buf[17]
     cap = 1 << lg_cur_cap
@@ -347,7 +347,7 @@ def aod_union_from_java_bytes(buf: bytes,
     ArrayOfDoublesUnion_v0.9.1.sk golden) raise the same
     type-mismatch error the reference raises."""
     _check_aod_header(buf, _TYPE_AOD_UNION, None)
-    union_theta = np.uint64(struct.unpack_from("<q", buf, 8)[0])
+    union_theta = np.uint64(struct.unpack_from("<Q", buf, 8)[0])
     gadget = _aod_qs_from_java_bytes(buf[16:], seed)
     return gadget, union_theta
 
