@@ -180,6 +180,27 @@ def _q_hll_nations_by_region(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("n_regionkey"))
 
 
+def _q_cpc_distinct_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """CPC distinct count per region, with the sketch column exported
+    to the reference's COMPRESSED wire format and heapified back
+    before estimating (cpc/CpcSketch.java:64 + the CpcCompression
+    codecs, validated on the in-tree C++ goldens).  Tiny per-group
+    cardinalities keep the ICON collision correction below half an
+    item, so round(estimate) hash-matches the exact oracle; the
+    accuracy envelope at scale is asserted in tests/test_cpc.py."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        cpc_estimate, cpc_from_java, cpc_sketch_agg, cpc_to_java)
+    nation = _read(spark, sf, "nation")
+    sk = cpc_sketch_agg(nation, "n_nationkey", by=["n_regionkey"], lg_k=11)
+    wire = sk.select("n_regionkey",
+                     cpc_from_java(cpc_to_java("cpc_sketch"))
+                     .alias("cpc_sketch"))
+    return (wire.select("n_regionkey",
+                        F.round(cpc_estimate("cpc_sketch")).cast("long")
+                        .alias("distinct_nations"))
+            .orderBy("n_regionkey"))
+
+
 def _q_long_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
     """Suffix-array pass over every verified near-dup pair: does the
     pair share a duplicated substring of ≥ 256 chars?  The boolean is
@@ -739,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_setops_custkey_halves": _q_theta_setops,
         "theta_jaccard_custkey_halves": _q_theta_jaccard,
         "hll_distinct_nations_by_region": _q_hll_nations_by_region,
+        "cpc_distinct_nations_by_region": _q_cpc_distinct_nations,
         "long_dup_substrings": _q_long_dup_substrings,
         "kll_quantiles_acctbal_by_nation": _q_kll_acctbal_by_nation,
         "req_quantiles_acctbal_by_nation": _q_req_quantiles_acctbal,
@@ -801,6 +823,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT c FROM i) * 1000000 // (SELECT c FROM u)
                    AS jaccard_micros""",
         "hll_distinct_nations_by_region": """
+            SELECT n_regionkey, COUNT(DISTINCT n_nationkey) AS distinct_nations
+            FROM nation GROUP BY 1 ORDER BY 1""",
+        "cpc_distinct_nations_by_region": """
             SELECT n_regionkey, COUNT(DISTINCT n_nationkey) AS distinct_nations
             FROM nation GROUP BY 1 ORDER BY 1""",
         "kll_quantiles_acctbal_by_nation": """

@@ -548,6 +548,51 @@ def tuple_jaccard_pair(a: pd.Series, b: pd.Series) -> pd.Series:
         for x, y in zip(a, b)])
 
 
+def cpc_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
+                   lg_k: int = 11,
+                   seed: int = DEFAULT_UPDATE_SEED) -> DataFrame:
+    """groupBy(by).agg(cpc_sketch(col)) — the CPC bit-matrix core
+    (cpc/CpcSketch.java:64) in the standard two-phase shape; shuffle
+    payloads are the engine's sparse-pairs/dense-matrix images."""
+    from ..sketches import cpc
+    by = by or []
+
+    def build(grp: pd.DataFrame) -> bytes:
+        return cpc.sketch_longs(
+            grp[col].dropna().to_numpy().astype(np.int64),
+            lg_k, seed).to_bytes()
+
+    def merge(imgs: list[bytes]) -> bytes:
+        return cpc.union_many(
+            [cpc.CpcSketch.from_bytes(b) for b in imgs]).to_bytes()
+
+    return _two_phase(df, by, [col], build, merge, "cpc_sketch")
+
+
+@F.pandas_udf(T.DoubleType())
+def cpc_estimate(images: pd.Series) -> pd.Series:
+    """ICON estimate (merge-safe) from a CPC image column."""
+    from ..sketches.cpc import CpcSketch
+    return images.map(lambda b: CpcSketch.from_bytes(b).estimate())
+
+
+@F.pandas_udf(T.BinaryType())
+def cpc_to_java(images: pd.Series) -> pd.Series:
+    """Engine CPC image → reference compressed wire format."""
+    from ..sketches import cpc_serde
+    from ..sketches.cpc import CpcSketch
+    return images.map(
+        lambda b: cpc_serde.to_java_bytes(CpcSketch.from_bytes(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def cpc_from_java(images: pd.Series) -> pd.Series:
+    """Reference compressed CPC image → engine image (heapify)."""
+    from ..sketches import cpc_serde
+    return images.map(
+        lambda b: cpc_serde.from_java_bytes(b).to_bytes())
+
+
 def varopt_sketch_agg(df: DataFrame, item_col: str, weight_col: str,
                       by: list[str] | None = None, k: int = 1024) -> DataFrame:
     """TRUE VarOpt two-phase aggregation (heavy/light two-region

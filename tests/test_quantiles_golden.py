@@ -66,10 +66,10 @@ def test_kll_float_v1_one_item():
 def test_every_reference_golden_is_covered():
     """Sweep of ALL .sk goldens in the reference tree: each must
     heapify through an engine reader, or raise the same rejection as
-    the reference (AoD v0.9.1), or be CPC (excluded by documented
-    design, SURVEY §2.3 — rejected with a clear error)."""
+    the reference (AoD v0.9.1; cpc-10m.sk fails upstream's own
+    capacity rule and is read by no upstream test)."""
     from datasketches_java_spark.sketches import (
-        hll_serde, theta_serde, tuple_serde)
+        cpc_serde, tuple_serde)
 
     readers = {
         "Qk128": lambda b: classic_doubles_from_java_bytes(b),
@@ -80,9 +80,12 @@ def test_every_reference_golden_is_covered():
             b, summary="int_cpp"),
         "CompactSketchWithDoubleSummary": lambda b:
             tuple_serde.from_java_bytes(b),
+        "cpc": lambda b: cpc_serde.from_java_bytes(b),
     }
-    rejected_like_reference = {"ArrayOfDoublesUnion_v0.9.1.sk"}
-    excluded_by_design = {"cpc"}  # SURVEY §2.3
+    rejected_like_reference = {
+        "ArrayOfDoublesUnion_v0.9.1.sk": tuple_serde.aod_union_from_java_bytes,
+        "cpc-10m.sk": cpc_serde.from_java_bytes,
+    }
 
     for name in sorted(os.listdir(RES)):
         if not name.endswith(".sk"):
@@ -90,15 +93,7 @@ def test_every_reference_golden_is_covered():
         buf = _golden(name)
         if name in rejected_like_reference:
             with pytest.raises(ValueError):
-                tuple_serde.aod_union_from_java_bytes(buf)
-            continue
-        if any(name.startswith(p) for p in excluded_by_design):
-            # no CPC reader exists on purpose; prove no OTHER reader
-            # silently misreads a CPC image
-            for r in (theta_serde.from_java_bytes, hll_serde.from_java_bytes,
-                      from_java_bytes, classic_doubles_from_java_bytes):
-                with pytest.raises(ValueError):
-                    r(buf)
+                rejected_like_reference[name](buf)
             continue
         reader = next(fn for p, fn in readers.items() if name.startswith(p))
         sk = reader(buf)  # must not raise
