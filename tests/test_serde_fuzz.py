@@ -18,8 +18,8 @@ from datasketches_java_spark.sketches import (
 from datasketches_java_spark.sketches.frequencies import ItemsSketch
 from datasketches_java_spark.sketches.sampling import ReservoirSketch
 from datasketches_java_spark.sketches import (
-    freq_serde, hll_serde, kll_serde, sampling_serde, theta_serde,
-    tuple_serde)
+    cpc, cpc_serde, freq_serde, hll_serde, kll_serde, sampling_serde,
+    theta_serde, tuple_serde)
 
 # clean, deterministic Python-level failures (struct.error covers
 # short-buffer unpacks — the buffer-too-small analogue of ValueError)
@@ -61,6 +61,12 @@ def _images() -> list[tuple[str, bytes, object]]:
          freq_serde.from_java_bytes),
         ("freq_items", freq_serde.items_to_java_bytes(fs),
          freq_serde.items_from_java_bytes),
+        ("cpc_sparse", cpc_serde.to_java_bytes(
+            cpc.sketch_longs(np.arange(100), lg_k=11)),
+         cpc_serde.from_java_bytes),
+        ("cpc_sliding", cpc_serde.to_java_bytes(
+            cpc.sketch_longs(np.arange(50_000), lg_k=10)),
+         cpc_serde.from_java_bytes),
     ]
 
 
