@@ -316,6 +316,8 @@ def from_java_bytes(buf: bytes,
         raise ValueError(f"unsupported CPC serVer {ser_ver}")
     if not flags & _FLAG_COMPRESSED:
         raise ValueError("CPC image must have the compressed flag")
+    if not (4 <= lg_k <= 26):
+        raise ValueError(f"CPC lgK must be in [4,26], got {lg_k}")
     fmt = (flags >> 2) & 0x7
     if pre_ints != _PRE_INT_DEFS[fmt]:
         raise ValueError(
@@ -338,6 +340,14 @@ def from_java_bytes(buf: bytes,
         c if fmt in (2, 3) else 0)
     sv_len = _int_at(_HI[fmt][4]) if has_sv else 0
     w_len = _int_at(_HI[fmt][5]) if has_window else 0
+    k = 1 << lg_k
+    if (c < 0 or num_sv < 0 or sv_len < 0 or w_len < 0
+            or c > (k << 6) or num_sv > (k << 6)):
+        raise ValueError(
+            f"Possible Corruption: negative or absurd CPC counts "
+            f"(c={c}, numSv={num_sv}, svLen={sv_len}, wLen={w_len})")
+    if has_sv and num_sv > 0 and sv_len == 0:
+        raise ValueError("Possible Corruption: svLengthInts cannot be zero")
     w_off = pre_ints << 2
     required = w_off + 4 * (w_len + sv_len)
     if len(buf) < required:
@@ -352,7 +362,6 @@ def from_java_bytes(buf: bytes,
     w_stream = words[:w_len]
     sv_stream = words[w_len:]
 
-    k = 1 << lg_k
     if not has_window:  # SPARSE / HYBRID: every coupon is a pair
         pairs = _uncompress_pairs(sv_stream, num_sv,
                                   _golomb_base_bits(k + num_sv, num_sv))
