@@ -553,14 +553,23 @@ def cpc_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
                    seed: int = DEFAULT_UPDATE_SEED) -> DataFrame:
     """groupBy(by).agg(cpc_sketch(col)) — the CPC bit-matrix core
     (cpc/CpcSketch.java:64) in the standard two-phase shape; shuffle
-    payloads are the engine's sparse-pairs/dense-matrix images."""
+    payloads are the engine's sparse-pairs/dense-matrix images.
+    STRING columns hash their UTF-8 bytes with the batch murmur3
+    (update(String), cpc/CpcSketch.java:342), like the theta agg."""
     from ..sketches import cpc
+    from ..sketches.murmur3 import hash128_bytes_batch
     by = by or []
+    is_string = isinstance(df.schema[col].dataType, T.StringType)
 
     def build(grp: pd.DataFrame) -> bytes:
+        vals = grp[col].dropna()
+        if is_string:
+            vals = vals[vals != ""]
+            flat, starts, lengths = _utf8_flat(vals)
+            h0, h1 = hash128_bytes_batch(flat, starts, lengths, seed)
+            return cpc.from_hash_pair(h0, h1, lg_k, seed).to_bytes()
         return cpc.sketch_longs(
-            grp[col].dropna().to_numpy().astype(np.int64),
-            lg_k, seed).to_bytes()
+            vals.to_numpy().astype(np.int64), lg_k, seed).to_bytes()
 
     def merge(imgs: list[bytes]) -> bytes:
         return cpc.union_many(

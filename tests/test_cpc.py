@@ -112,3 +112,17 @@ def test_rowcols_match_reference_coupon_split():
     sk = cpc.sketch_longs(xs, lg_k=lg_k)
     assert set(int(x) for x in sk.row_cols()) == expected
     assert sk.num_coupons == len(expected)
+
+
+def test_spark_agg_longs_and_strings(spark):
+    from pyspark.sql import functions as F
+
+    from datasketches_java_spark.functions.sketch_aggs import (
+        cpc_estimate, cpc_sketch_agg)
+
+    df = spark.createDataFrame(
+        [(i % 30, f"name-{i % 30}") for i in range(900)], ["k", "s"])
+    for col in ("k", "s"):
+        sk = cpc_sketch_agg(df, col, lg_k=11)
+        est = sk.select(cpc_estimate("cpc_sketch")).head()[0]
+        assert round(est) == 30
