@@ -310,6 +310,26 @@ def _q_freq_orderpriority(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+def _q_freq_orderpriority_wire(spark: SparkSession, sf: str) -> DataFrame:
+    """freq_orderpriority_counts with the sketch column exported to
+    the reference's string ItemsSketch wire format and heapified back
+    before querying (frequencies/ItemsSketch.java:494 layout +
+    ArrayOfStringsSerDe) — the Hive/Pig string-column interop path,
+    exercised inside the oracle gate."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        freq_items, freq_items_from_java, freq_items_to_java,
+        freq_sketch_agg)
+    orders = _read(spark, sf, "orders")
+    sk = freq_sketch_agg(orders, "o_orderpriority", max_map_size=1024)
+    wire = sk.select(freq_items_from_java(freq_items_to_java("freq_sketch"))
+                     .alias("freq_sketch"))
+    items = freq_items(0)
+    return (wire.select(F.explode(items("freq_sketch")).alias("fi"))
+            .select(F.col("fi.item").alias("o_orderpriority"),
+                    F.col("fi.estimate").alias("cnt"))
+            .orderBy("o_orderpriority"))
+
+
 def _q_freq_heavy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """Heavy hitters above a data-dependent threshold (total/120).
     The threshold rides in the plan as a broadcast one-row aggregate
@@ -768,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_longs_orderdate_quantiles": _q_kll_longs_orderdate,
         "kll_strings_custname_quantiles": _q_kll_strings_custname,
         "freq_orderpriority_counts": _q_freq_orderpriority,
+        "freq_orderpriority_wire_roundtrip": _q_freq_orderpriority_wire,
         "freq_heavy_suppliers": _q_freq_heavy_suppliers,
         "reservoir_nation_cover": _q_reservoir_nations,
         "varopt_subset_sum_parts": _q_varopt_subset_sum,
@@ -870,6 +891,9 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price FROM lineitem""",
         "freq_orderpriority_counts": """
+            SELECT o_orderpriority, count(*) AS cnt FROM orders
+            GROUP BY 1 ORDER BY 1""",
+        "freq_orderpriority_wire_roundtrip": """
             SELECT o_orderpriority, count(*) AS cnt FROM orders
             GROUP BY 1 ORDER BY 1""",
         "freq_heavy_suppliers": """

@@ -420,6 +420,24 @@ _FREQ_ROW = T.ArrayType(T.StructType([
 ]))
 
 
+@F.pandas_udf(T.BinaryType())
+def freq_items_to_java(images: pd.Series) -> pd.Series:
+    """Engine frequent-items image → reference string ItemsSketch
+    image (frequencies/ItemsSketch.toByteArray:494 with
+    ArrayOfStringsSerDe payloads)."""
+    from ..sketches import freq_serde
+    return images.map(
+        lambda b: freq_serde.items_to_java_bytes(ItemsSketch.from_bytes(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def freq_items_from_java(images: pd.Series) -> pd.Series:
+    """Reference string ItemsSketch image → engine image."""
+    from ..sketches import freq_serde
+    return images.map(
+        lambda b: freq_serde.items_from_java_bytes(b).to_bytes())
+
+
 def freq_items(threshold: int, error_type: str = "NO_FALSE_POSITIVES") -> Callable:
     @F.pandas_udf(_FREQ_ROW)
     def items(images: pd.Series) -> pd.Series:
