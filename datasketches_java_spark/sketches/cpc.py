@@ -232,6 +232,9 @@ def union(a: CpcSketch, b: CpcSketch) -> CpcSketch:
 
 
 def union_many(sketches: list[CpcSketch]) -> CpcSketch:
+    if not sketches:
+        raise ValueError("union_many requires at least one CPC sketch "
+                         "(use empty() for an identity element)")
     out = sketches[0]
     for s in sketches[1:]:
         out = union(out, s)

@@ -116,9 +116,18 @@ def _hll4_regs(buf: bytes, lg_k: int, cur_min: int, flags: int) -> np.ndarray:
         vals = (pairs >> np.uint32(_KEY_BITS)).astype(np.uint8)
         regs = regs.copy()
         regs[slots] = vals
-        # any AUX_TOKEN slot must have been resolved by the aux map
-        if (regs[exc] == _AUX_TOKEN + cur_min).any() and aux_count == 0:
-            raise ValueError("HLL_4 image has AUX_TOKEN nibbles but no aux map")
+        # every AUX_TOKEN slot must be resolved by an aux pair — track
+        # overwrites explicitly (a resolved slot may legitimately hold
+        # the value curMin+15, so the value itself is not a marker).
+        # The reference throws on a missing exception entry
+        # (hll/Hll4Array.getSlotValue -> AuxHashMap.mustFindValueFor).
+        resolved = np.zeros(m, dtype=bool)
+        resolved[slots] = True
+        if (exc & ~resolved).any():
+            missing = np.nonzero(exc & ~resolved)[0][:5].tolist()
+            raise ValueError(
+                f"HLL_4 image has unresolved AUX_TOKEN slots {missing} "
+                f"(aux map incomplete)")
     return regs
 
 

@@ -370,11 +370,26 @@ def aod_union_to_java_bytes(sk: TupleSketch, union_theta: np.uint64 | None
     keys = np.zeros(cap, dtype="<u8")
     vals = np.zeros((cap, n_values), dtype="<f8")
     if count:
-        # linear-probe placement is unnecessary for a read-compatible
-        # image: the reference reader scans the whole table and keeps
-        # nonzero keys, so dense placement at the front is valid.
-        keys[:count] = sk.hashes.astype("<u8")
-        vals[:count] = sk.values.astype("<f8")
+        # Keys MUST sit at their open-address probe positions, not
+        # densely at the front: the reference's
+        # HeapArrayOfDoublesQuickSelectSketch(Memory) copies the table
+        # verbatim and a resumed Union then probes from the key-derived
+        # slot (HashOperations.hashInsertOnly: start = hash & mask,
+        # odd stride from the next 7 hash bits — HashOperations.java:50,
+        # 100-113).  A densely-packed image would make resumed unions
+        # miss existing keys and silently insert duplicates.
+        mask = cap - 1
+        src_keys = sk.hashes.astype(np.uint64)
+        src_vals = np.asarray(sk.values, dtype=np.float64).reshape(
+            count, n_values)
+        for i in range(count):
+            h = int(src_keys[i])
+            idx = h & mask
+            stride = 2 * ((h >> lg_cap) & 0x7F) + 1
+            while keys[idx] != 0:
+                idx = (idx + stride) & mask
+            keys[idx] = h
+            vals[idx] = src_vals[i]
     gadget = [struct.pack("<BBBBBBHq", 1, 1, _FAMILY_TUPLE, _TYPE_AOD_QS,
                           (_FA_HAS_ENTRIES if count else 0)
                           | (0 if count else _FA_EMPTY),

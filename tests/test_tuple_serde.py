@@ -164,6 +164,46 @@ def test_roundtrip_aod_union(n, dims):
     assert (gadget.values == sk.values).all()
 
 
+@pytest.mark.parametrize("n,dims", [(5, 2), (100, 1), (9000, 1)])
+def test_aod_union_keys_at_probe_positions(n, dims):
+    """A datasketches-java consumer resuming a Union probes the gadget
+    table with HashOperations.hashSearch (start = hash & mask, odd
+    stride from the next 7 hash bits; HashOperations.java:50,65-84).
+    Every serialized key must therefore be reachable from its probe
+    sequence WITHOUT crossing an empty slot — otherwise the resumed
+    union treats it as absent and silently inserts a duplicate."""
+    import struct as _struct
+
+    sk = _build(n, dtype=np.float64, dims=dims)
+    img = ts.aod_union_to_java_bytes(sk)
+    gadget = img[16:]
+    n_values = gadget[5]
+    lg_cap = gadget[17]
+    cap = 1 << lg_cap
+    count = _struct.unpack_from("<i", gadget, 24)[0]
+    keys = np.frombuffer(gadget, "<u8", count=cap, offset=32)
+    assert count == sk.count
+    mask = cap - 1
+    for h in keys[keys != 0]:
+        h = int(h)
+        idx = h & mask
+        stride = 2 * ((h >> lg_cap) & 0x7F) + 1
+        loop = idx
+        while True:
+            assert keys[idx] != 0, f"empty slot hit before key {h:#x}"
+            if int(keys[idx]) == h:
+                break
+            idx = (idx + stride) & mask
+            assert idx != loop, "probe wrapped without finding key"
+    # values stay aligned with their keys
+    vals = np.frombuffer(gadget, "<f8", count=cap * n_values,
+                         offset=32 + cap * 8).reshape(cap, n_values)
+    live = keys != 0
+    order = np.argsort(keys[live])
+    assert (keys[live][order] == sk.hashes).all()
+    assert (vals[live][order] == sk.values).all()
+
+
 def test_seed_hash_checked_on_aod():
     sk = _build(10, dtype=np.float64)
     img = ts.aod_to_java_bytes(sk, seed=9001)
