@@ -437,22 +437,18 @@ def _q_fdt_parts_per_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_exact_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup keyed on xxhash64(normalized text): the groupBy and
-    join shuffle 8-byte keys, not document-length strings (at 100 TB
-    the norm string would cross the wire twice otherwise).  64-bit
-    collision risk is ~n²/2^65 (≈3e-7 at 10^9 docs) and biases only
-    toward over-grouping; a collision-confirming re-check on `norm`
-    can be layered on when that bound is unacceptable."""
+    """Exact dedup keyed on xxhash64(normalized text), with the
+    collision confirm that keeps it truly exact.  Cost model at 100 TB:
+    the first aggregate groups by (normkey, norm) — map-side combine
+    collapses duplicates, so each DISTINCT norm crosses the wire once
+    (any exact scheme must move the string at least once); the second
+    aggregate and the doc-side join shuffle only the 8-byte key.  A
+    64-bit collision (two norms sharing a hash, ~n²/2^65) surfaces as
+    n_norms > 1 and is resolved exactly by the per-norm group — the
+    fallback join runs against an (almost always empty) flagged set."""
+    from datasketches_java_spark.operators.exact_dedup import exact_dedup
     docs = _read(spark, sf, "documents")
-    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
-    key = F.xxhash64(norm)
-    canon = docs.groupBy(key.alias("normkey")).agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count("*").alias("group_size"))
-    return (docs.withColumn("normkey", key)
-            .join(canon, on="normkey")
-            .select("doc_id", "canonical_id", "group_size")
-            .orderBy("doc_id"))
+    return exact_dedup(docs, "doc_id", "text").orderBy("doc_id")
 
 
 def _q_lsh_dup_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
