@@ -252,6 +252,31 @@ def _q_req_quantiles_acctbal(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("c_nationkey"))
 
 
+def _q_req_serde_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation REQ quantiles of c_custkey with the sketch column
+    exported to the reference's wire format and heapified back before
+    querying (req/ReqSerDe.java:44-121 layouts) — the interop path a
+    datasketches-java REQ producer/consumer would hit, inside the
+    oracle gate.  Custkeys are float32-exact (< 2^24) so the narrowing
+    to the reference's FLOAT item type is lossless here; per-group n
+    stays below base capacity, so quantiles are exact order statistics
+    and hash-match the cume_dist oracle."""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        req_from_java, req_quantiles, req_sketch_agg, req_to_java)
+    cust = _read(spark, sf, "customer")
+    sk = req_sketch_agg(cust, "c_custkey", by=["c_nationkey"], k=1024)
+    wire = sk.select("c_nationkey",
+                     req_from_java(req_to_java("req_sketch"))
+                     .alias("req_sketch"))
+    q = req_quantiles([0.25, 0.5, 0.75])
+    return (wire.select("c_nationkey", q("req_sketch").alias("qs"))
+            .select("c_nationkey",
+                    F.col("qs")[0].cast("long").alias("q25"),
+                    F.col("qs")[1].cast("long").alias("q50"),
+                    F.col("qs")[2].cast("long").alias("q75"))
+            .orderBy("c_nationkey"))
+
+
 def _q_kll_longs_orderdate(spark: SparkSession, sf: str) -> DataFrame:
     """Generic-item KLL over LONGS (kll/KllLongsSketch.java analogue):
     p25/p50/p75 of o_orderdate as epoch DAYS (timezone-free — the
@@ -785,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_dup_substrings": _q_long_dup_substrings,
         "kll_quantiles_acctbal_by_nation": _q_kll_acctbal_by_nation,
         "req_quantiles_acctbal_by_nation": _q_req_quantiles_acctbal,
+        "req_serde_roundtrip_custkeys": _q_req_serde_roundtrip,
         "kll_price_stats": _q_kll_price_stats,
         "kll_longs_orderdate_quantiles": _q_kll_longs_orderdate,
         "kll_strings_custname_quantiles": _q_kll_strings_custname,
@@ -869,6 +895,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(c_acctbal) FILTER (WHERE cd >= 0.25) AS q25,
                    MIN(c_acctbal) FILTER (WHERE cd >= 0.5)  AS q50,
                    MIN(c_acctbal) FILTER (WHERE cd >= 0.75) AS q75
+            FROM r GROUP BY 1 ORDER BY 1""",
+        "req_serde_roundtrip_custkeys": """
+            WITH r AS (SELECT c_nationkey, c_custkey,
+                              cume_dist() OVER (PARTITION BY c_nationkey
+                                                ORDER BY c_custkey) cd
+                       FROM customer)
+            SELECT c_nationkey,
+                   MIN(c_custkey) FILTER (WHERE cd >= 0.25) AS q25,
+                   MIN(c_custkey) FILTER (WHERE cd >= 0.5)  AS q50,
+                   MIN(c_custkey) FILTER (WHERE cd >= 0.75) AS q75
             FROM r GROUP BY 1 ORDER BY 1""",
         "kll_longs_orderdate_quantiles": """
             WITH r AS (SELECT CAST(datediff('day', DATE '1970-01-01',

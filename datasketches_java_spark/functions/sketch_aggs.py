@@ -371,6 +371,21 @@ def req_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
     return _two_phase(df, by, [col], build, merge, "req_sketch")
 
 
+@F.pandas_udf(T.BinaryType())
+def req_to_java(images: pd.Series) -> pd.Series:
+    """Engine REQ image → reference wire format (req/ReqSerDe.java)."""
+    from ..sketches.req import ReqSketch
+    from ..sketches.req_serde import to_java_bytes
+    return images.map(lambda b: to_java_bytes(ReqSketch.from_bytes(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def req_from_java(images: pd.Series) -> pd.Series:
+    """Reference REQ wire format → engine image."""
+    from ..sketches.req_serde import from_java_bytes
+    return images.map(lambda b: from_java_bytes(b).to_bytes())
+
+
 def req_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def qs(images: pd.Series) -> pd.Series:
