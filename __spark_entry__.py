@@ -299,15 +299,23 @@ def _q_kll_longs_orderdate(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_kll_strings_custname(spark: SparkSession, sf: str) -> DataFrame:
     """Generic-item KLL over STRINGS (quantiles/ItemsSketch.java:70
-    comparator contract): lexicographic p25/p50/p75 of c_name.
+    comparator contract): lexicographic p25/p50/p75 of c_name, with
+    the sketch column routed THROUGH the reference's classic generic
+    ItemsSketch wire format (quantiles/ItemsByteArrayImpl.java +
+    ArrayOfStringsSerDe) and heapified back before querying — the
+    interop path a datasketches-java string-quantile consumer hits.
     Code-point order == DuckDB/Spark binary UTF-8 collation on this
     ASCII column, so exact-mode quantiles hash-match the oracle."""
     from datasketches_java_spark.functions.sketch_aggs import (
-        kll_items_quantiles, kll_items_sketch_agg)
+        kll_items_from_java, kll_items_quantiles, kll_items_sketch_agg,
+        kll_items_to_java)
     cust = _read(spark, sf, "customer")
     sk = kll_items_sketch_agg(cust, "c_name", k=4096, dtype="string")
+    wire = sk.select(
+        kll_items_from_java("string")(kll_items_to_java("string")(
+            "kll_items_sketch")).alias("kll_items_sketch"))
     q = kll_items_quantiles([0.25, 0.5, 0.75], "string")
-    return (sk.select(q("kll_items_sketch").alias("qs"))
+    return (wire.select(q("kll_items_sketch").alias("qs"))
             .select(F.col("qs")[0].alias("q25"),
                     F.col("qs")[1].alias("q50"),
                     F.col("qs")[2].alias("q75")))

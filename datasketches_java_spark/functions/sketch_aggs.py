@@ -286,6 +286,29 @@ def kll_items_sketch_agg(df: DataFrame, col: str,
     return _two_phase(df, by, [col], build, merge, "kll_items_sketch")
 
 
+def kll_items_to_java(dtype: str = "long") -> Callable:
+    """Engine KLL-items image → the reference's classic generic
+    ItemsSketch wire format (quantiles/ItemsByteArrayImpl.java with
+    ArrayOfLongsSerDe / ArrayOfStringsSerDe; exact-mode states)."""
+    @F.pandas_udf(T.BinaryType())
+    def enc(images: pd.Series) -> pd.Series:
+        from ..sketches.kll_items import KllItemsSketch
+        from ..sketches.kll_serde import classic_items_to_java_bytes
+        return images.map(
+            lambda b: classic_items_to_java_bytes(KllItemsSketch.from_bytes(b)))
+    return enc
+
+
+def kll_items_from_java(dtype: str = "long") -> Callable:
+    """Reference classic generic ItemsSketch image → engine image."""
+    @F.pandas_udf(T.BinaryType())
+    def dec(images: pd.Series) -> pd.Series:
+        from ..sketches.kll_serde import classic_items_from_java_bytes
+        return images.map(
+            lambda b: classic_items_from_java_bytes(b, dtype).to_bytes())
+    return dec
+
+
 def kll_items_quantiles(ranks: list[float], dtype: str = "long",
                         inclusive: bool = True) -> Callable:
     elem = T.LongType() if dtype == "long" else T.StringType()

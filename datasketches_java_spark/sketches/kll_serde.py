@@ -194,3 +194,140 @@ def classic_doubles_from_java_bytes(buf: bytes) -> KllDoublesSketch:
             bp >>= 1
             i += 1
     return KllDoublesSketch(k, n, float(mn), float(mx), levels)
+
+
+# ---------------------------------------------------------------------------
+# classic quantiles GENERIC-ITEMS images (quantiles/ItemsSketch.java with
+# common/ArrayOfItemsSerDe payloads) — the reference's wire format for
+# string/long quantile sketches
+# ---------------------------------------------------------------------------
+
+_Q_FLAG_ORDERED = 16
+_ITEMS_SER_VER = 3        # quantiles/ItemsUtil.java:43
+_PRIOR_ITEMS_SER_VER = 2
+
+
+def _items_encode(arr, dtype_code: int) -> bytes:
+    """common/ArrayOfLongsSerDe (8-byte LE longs) or
+    common/ArrayOfStringsSerDe (int32 length + UTF-8 bytes)."""
+    from .kll_items import _DTYPE_LONG
+    if dtype_code == _DTYPE_LONG:
+        return np.asarray(arr, dtype="<i8").tobytes()
+    out = []
+    for s in arr:
+        b = s.encode("utf-8")
+        out.append(struct.pack("<i", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def _items_decode(buf: bytes, off: int, count: int, dtype_code: int):
+    from .kll_items import _DTYPE_LONG
+    if dtype_code == _DTYPE_LONG:
+        arr = np.frombuffer(buf, dtype="<i8", count=count,
+                            offset=off).astype(np.int64)
+        return arr, off + count * 8
+    items = np.empty(count, dtype=object)
+    for i in range(count):
+        (ln,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        items[i] = buf[off:off + ln].decode("utf-8")
+        off += ln
+    return items, off
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 1).bit_length()
+
+
+def classic_items_to_java_bytes(sk, classic_k: int | None = None) -> bytes:
+    """Serialize an engine KllItemsSketch to the reference's classic
+    generic ItemsSketch image (quantiles/ItemsByteArrayImpl.toByteArray
+    :49-81 with ArrayOfLongsSerDe / ArrayOfStringsSerDe payloads).
+
+    EXACT-mode only: a classic image's level structure is fully
+    determined by (k, n) — baseBufferCount = n mod 2k, each set bit of
+    n/(2k) is a level of exactly k items — so an estimation-mode KLL
+    state (variable-size levels, different weights) has no valid
+    classic representation without resampling the stream.  When all n
+    items are retained they form a legal base-buffer-only image with
+    any power-of-two classic k > n/2 (chosen automatically), which a
+    datasketches-java `ItemsSketch.getInstance(mem, comparator, serDe)`
+    consumer accepts and may keep updating.  Estimation-mode states
+    raise ValueError.
+    """
+    from .kll_items import KllItemsSketch  # noqa: F401  (type context)
+    retained = sum(lv.shape[0] for lv in sk.levels)
+    if sk.n == 0:
+        k = classic_k or 128
+        return struct.pack("<BBBBHxx", 1, _ITEMS_SER_VER, _FAMILY_QUANTILES,
+                           _Q_FLAG_EMPTY | _Q_FLAG_COMPACT, k)
+    if retained != sk.n:
+        raise ValueError(
+            "classic items image requires exact mode (all items "
+            f"retained): n={sk.n}, retained={retained}")
+    if classic_k is None:
+        classic_k = max(4, _next_pow2(sk.n // 2 + 1))
+    if not (2 < classic_k < 65536 and classic_k & (classic_k - 1) == 0):
+        raise ValueError(f"classic k must be a power of 2 in (2, 65536): "
+                         f"{classic_k} (n={sk.n} too large for exact write)")
+    if sk.n >= 2 * classic_k:
+        raise ValueError(f"n={sk.n} needs classic k > n/2, got {classic_k}")
+    items = np.sort(np.concatenate(sk.levels), kind="stable")
+    data = np.empty(items.shape[0] + 2, dtype=object)
+    data[0], data[1] = sk.min_item, sk.max_item
+    data[2:] = items
+    payload = _items_encode(data, sk.dtype_code)
+    pre0 = struct.pack("<BBBBHxx", 2, _ITEMS_SER_VER, _FAMILY_QUANTILES,
+                       _Q_FLAG_COMPACT | _Q_FLAG_ORDERED, classic_k)
+    return pre0 + struct.pack("<q", sk.n) + payload
+
+
+def classic_items_from_java_bytes(buf: bytes, dtype: str = "long"):
+    """Heapify a classic generic ItemsSketch image (serVer 2/3,
+    quantiles/ItemsSketch.getInstance:192 + ItemsByteArrayImpl layout)
+    into the engine's KllItemsSketch via the same lossless
+    level-weight mapping as classic_doubles_from_java_bytes: KLL level
+    0 = base buffer (weight 1), KLL level i+1 = classic level i
+    (weight 2^(i+1)), present iff bit i of n/(2k) is set.  The payload
+    is the serde-encoded array [min, max, baseBuffer..., levels...]
+    (ItemsByteArrayImpl.combinedBufferToItemsArray:92-124)."""
+    from .kll_items import (_DTYPE_LONG, _DTYPE_STRING, _empty_level,
+                            KllItemsSketch)
+    dtype_code = _DTYPE_LONG if dtype == "long" else _DTYPE_STRING
+    if len(buf) < 8:
+        raise ValueError("classic items image too short")
+    pre_longs, ser_ver, fam, flags, k = struct.unpack_from("<BBBBH", buf, 0)
+    if fam != _FAMILY_QUANTILES:
+        raise ValueError(f"family {fam} is not a classic quantiles image "
+                         f"(need 8)")
+    if ser_ver not in (_ITEMS_SER_VER, _PRIOR_ITEMS_SER_VER):
+        raise ValueError(f"unsupported items serVer {ser_ver}")
+    if flags & _Q_FLAG_EMPTY:
+        return KllItemsSketch(k, dtype_code, 0, None, None,
+                              [_empty_level(dtype_code)])
+    (n,) = struct.unpack_from("<q", buf, 8)
+    bb_cnt = int(n % (2 * k))
+    bit_pattern = n // (2 * k)
+    total = 2 + bb_cnt + k * int(bin(bit_pattern).count("1"))
+    data, _ = _items_decode(buf, pre_longs << 3, total, dtype_code)
+    mn, mx = data[0], data[1]
+    base = data[2:2 + bb_cnt]
+    if dtype_code == _DTYPE_LONG:
+        base = np.asarray(base, dtype=np.int64)
+    levels = [np.sort(base, kind="stable")]
+    off = 2 + bb_cnt
+    bp = bit_pattern
+    while bp:
+        if bp & 1:
+            lv = data[off:off + k]
+            if dtype_code == _DTYPE_LONG:
+                lv = np.asarray(lv, dtype=np.int64)
+            off += k
+        else:
+            lv = _empty_level(dtype_code)
+        levels.append(lv)
+        bp >>= 1
+    if dtype_code == _DTYPE_LONG:
+        mn, mx = int(mn), int(mx)
+    return KllItemsSketch(k, dtype_code, int(n), mn, mx, levels)
