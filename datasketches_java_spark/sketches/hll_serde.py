@@ -70,6 +70,31 @@ def to_java_bytes(sk: HllSketch) -> bytes:
     return hdr + body + regs.astype(np.uint8).tobytes()
 
 
+def to_java_bytes_hll6(sk: HllSketch) -> bytes:
+    """Serialize to the reference's HLL_6 dense image
+    (hll/Hll6Array.java 6-bit packing: slot i occupies bits
+    [6i, 6i+6) little-endian; array size = 3m/4 + 1 pad byte,
+    AbstractHllArray.hll6ArrBytes:214-217).  The inverse of
+    _hll6_regs; closes the HLL target-type write matrix
+    (HLL_4 / HLL_6 / HLL_8)."""
+    regs = sk.regs
+    if regs.max(initial=0) > 63:
+        raise ValueError("register value > 63 cannot pack into HLL_6")
+    cur_min = int(regs.min()) if regs.size else 0
+    num_at_cur_min = int(np.count_nonzero(regs == cur_min))
+    kxq0, kxq1 = _kxq_split(regs)
+    empty = bool(np.all(regs == 0))
+    flags = _FLAG_READ_ONLY | _FLAG_OOO | (_FLAG_EMPTY if empty else 0)
+    bits = ((regs[:, None] >> np.arange(6, dtype=np.uint8)) & 1).astype(
+        np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    pad = (3 * regs.shape[0]) // 4 + 1 - packed.shape[0]
+    hdr = struct.pack("<BBBBBBBB", _PRE_INTS_HLL, _SER_VER, _FAMILY_HLL,
+                      sk.lg_k, 0, flags, cur_min, 0b0110)  # HLL_6 + HLL
+    body = struct.pack("<dddii", 0.0, kxq0, kxq1, num_at_cur_min, 0)
+    return hdr + body + packed.tobytes() + b"\x00" * pad
+
+
 _FLAG_COMPACT = 8
 _AUX_TOKEN = 0xF  # hll/HllUtil.java:64
 _KEY_BITS = 26    # coupon split: low 26 bits key, high 6 bits value

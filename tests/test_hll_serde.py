@@ -245,3 +245,56 @@ def test_hll4_write_forces_aux_exceptions():
     back = from_java_bytes(img)
     assert back.regs[5] == regs[5]
     assert np.array_equal(back.regs, regs)
+
+
+def test_hll6_write_roundtrip_size_and_cross_type_identity():
+    """HLL_6 write path (hll/Hll6Array.java packing): round-trips
+    bit-exactly through the engine's HLL_6 reader, uses the
+    reference's exact array size (3m/4 + 1,
+    AbstractHllArray.hll6ArrBytes), and preserves the
+    hll/CrossCountingTest.java:33-40 invariant — HLL_4/6/8 images of
+    the SAME sketch produce identical estimates."""
+    from datasketches_java_spark.sketches.hll_serde import (
+        to_java_bytes_hll4, to_java_bytes_hll6)
+    for n in (0, 100, 50_000, 400_000):
+        sk = hll.sketch_longs(np.arange(n), lg_k=11)
+        img6 = to_java_bytes_hll6(sk)
+        assert img6[7] == 0b0110          # HLL_6 + HLL mode
+        m = 1 << sk.lg_k
+        assert len(img6) == 40 + (3 * m) // 4 + 1
+        back6 = from_java_bytes(img6)
+        assert np.array_equal(back6.regs, sk.regs)
+        # cross-type identity across all three written target types
+        est8 = from_java_bytes(to_java_bytes(sk)).estimate()
+        est6 = back6.estimate()
+        est4 = from_java_bytes(to_java_bytes_hll4(sk)).estimate()
+        assert est8 == est6 == est4 == sk.estimate()
+
+
+def test_hll6_write_rejects_overflow_register():
+    from datasketches_java_spark.sketches.hll_serde import to_java_bytes_hll6
+    sk = hll.sketch_longs(np.arange(100), lg_k=8)
+    regs = sk.regs.copy()
+    regs[3] = 64
+    with pytest.raises(ValueError, match="HLL_6"):
+        to_java_bytes_hll6(hll.HllSketch(sk.lg_k, sk.seed_hash, regs))
+
+
+def test_hll4_reader_rejects_incomplete_aux_map():
+    """Round-4 hardening: an HLL_4 image whose aux map resolves only
+    SOME of its AUX_TOKEN nibbles must be rejected (the reference
+    throws in AuxHashMap.mustFindValueFor), even when aux_count > 0."""
+    import struct as _s
+    from datasketches_java_spark.sketches.hll_serde import to_java_bytes_hll4
+    sk = hll.sketch_longs(np.arange(300_000), lg_k=8)
+    regs = sk.regs.copy()
+    regs[5] = regs.min() + 25
+    regs[9] = regs.min() + 30           # two exceptions
+    img = bytearray(to_java_bytes_hll4(
+        hll.HllSketch(sk.lg_k, sk.seed_hash, regs)))
+    (aux_count,) = _s.unpack_from("<i", img, 36)
+    assert aux_count == 2
+    # drop the last aux pair but keep its AUX_TOKEN nibble
+    _s.pack_into("<i", img, 36, 1)
+    with pytest.raises(ValueError, match="unresolved AUX_TOKEN"):
+        from_java_bytes(bytes(img[:-4]))
