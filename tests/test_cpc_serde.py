@@ -115,3 +115,53 @@ def test_rejections():
         from_java_bytes(struct.pack("<BBBBBBH", 2, 9, 16, 11, 0, 2, 0))
     with pytest.raises(ValueError, match="compressed"):
         from_java_bytes(struct.pack("<BBBBBBH", 2, 1, 16, 11, 0, 0, 0))
+
+
+# -- property sweep: random states across all writable preamble formats ----
+
+from hypothesis import given, settings, strategies as st
+
+
+def _format_ordinal(img: bytes) -> int:
+    return (img[5] >> 2) & 0x7
+
+
+@settings(max_examples=60, deadline=None)
+@given(lg_k=st.integers(min_value=4, max_value=14),
+       log_occ=st.floats(min_value=-3.0, max_value=6.5),
+       seed=st.integers(min_value=0, max_value=2 ** 31 - 1))
+def test_codec_property_roundtrip(lg_k, log_occ, seed):
+    """Random (lgK, occupancy) states: decode(encode(m)) == m matrix-
+    exact and re-encode is byte-stable.  Occupancy spans EMPTY through
+    deep SLIDING (n up to ~90·K), the codec's full operating range —
+    the 451-line bit-stream codec guards the flagship interop claim,
+    and fuzzing found real bugs in the other readers (commit 7481776)."""
+    k = 1 << lg_k
+    n = int(k * (2.0 ** log_occ)) if log_occ > -3.0 else 0
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(-(1 << 62), 1 << 62, n, dtype=np.int64)
+    sk = cpc.sketch_longs(vals, lg_k=lg_k)
+    img = to_java_bytes(sk)
+    back = from_java_bytes(img)
+    assert np.array_equal(back.matrix, sk.matrix)
+    assert to_java_bytes(back) == img
+
+
+def test_codec_sweep_covers_all_writable_formats():
+    """The writer emits the 4 MERGED preamble formats (the engine is
+    merge-based; HIP formats are read-side only, covered by the C++
+    goldens).  Pin that a lgK × occupancy sweep actually exercises all
+    of them: EMPTY_MERGED(0), SPARSE_HYBRID_MERGED(2),
+    PINNED_SLIDING_MERGED_NOSV(4), PINNED_SLIDING_MERGED(6)."""
+    seen = set()
+    for lg_k in (4, 8, 11):
+        k = 1 << lg_k
+        for n in (0, 1, k // 4, k, 3 * k, 8 * k, 40 * k):
+            sk = cpc.sketch_longs(
+                np.random.default_rng(n + lg_k).integers(
+                    0, 1 << 60, n, dtype=np.int64), lg_k=lg_k)
+            img = to_java_bytes(sk)
+            seen.add(_format_ordinal(img))
+            back = from_java_bytes(img)
+            assert np.array_equal(back.matrix, sk.matrix)
+    assert {0, 2, 4, 6} <= seen, f"formats covered: {sorted(seen)}"
