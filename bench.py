@@ -106,6 +106,45 @@ def _spark(cores: int):
 
 
 def main() -> None:
+    if "--scaling-cluster" in sys.argv:
+        # N -> 4N EXECUTOR scaling on Spark's local-cluster mode:
+        # separate executor JVMs + real shuffle transport — the closest
+        # in-sandbox analogue to the north rule's multi-executor
+        # criterion (local[N] thread mode shares one JVM heap and no
+        # network path).  1 executor x 4 cores vs 4 executors x 4
+        # cores on the 32-core box (the 4-exec level uses 16 of 32
+        # cores so executor JVM + Python worker pairs don't
+        # oversubscribe; see BENCH.md).
+        from datasketches_java_spark.functions.session import get_spark
+        lo = int(os.environ.get("SPARK_GRAFT_CLUSTER_LO", "1"))
+        hi = int(os.environ.get("SPARK_GRAFT_CLUSTER_HI", str(lo * 4)))
+        cores_per = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "4"))
+        mem = os.environ.get("SPARK_GRAFT_CLUSTER_MEM", "8192")
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        rows = []
+        for n_exec in (lo, hi):
+            best = None
+            for _ in range(reps):
+                spark = get_spark(
+                    "bench-cluster",
+                    master=f"local-cluster[{n_exec},{cores_per},{mem}]",
+                    shuffle_partitions=max(n_exec * cores_per * 2, 16),
+                    executor_memory=f"{mem}m")
+                wall, n_docs, _ = run_pipeline(spark)
+                spark.stop()
+                if best is None or wall < best:
+                    best = wall
+            rows.append({"executors": n_exec, "cores_per_executor": cores_per,
+                         "wall_s": round(best, 2),
+                         "docs_per_sec": round(n_docs / best, 1)})
+        eff = rows[1]["docs_per_sec"] / rows[0]["docs_per_sec"] / (hi / lo)
+        print(json.dumps({
+            "metric": (f"executor scaling efficiency local-cluster "
+                       f"{lo}x{cores_per} -> {hi}x{cores_per}"),
+            "value": round(eff, 3), "unit": "ratio",
+            "runs": rows, "n_docs": BENCH_DOCS}))
+        return
+
     if "--scaling" in sys.argv:
         # N → 4N evidence (north rule).  4 vs 16 cores on the 32-core
         # sandbox: each Spark task slot pairs a JVM thread with a

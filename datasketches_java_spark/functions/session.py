@@ -15,11 +15,24 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "datasketches_java_spark",
               cores: int | None = None,
               shuffle_partitions: int | None = None,
-              driver_memory: str = "48g") -> SparkSession:
+              driver_memory: str = "48g",
+              master: str | None = None,
+              executor_memory: str | None = None) -> SparkSession:
+    """`master` overrides the default local[cores] — used by the
+    scaling bench's local-cluster[N, cores, mem] mode (separate
+    executor JVMs + real shuffle transport, the closest in-sandbox
+    analogue to multi-executor scaling).  local-cluster needs
+    SPARK_HOME pointing at the pyspark distribution."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    if master is None:
+        master = f"local[{cores}]"
+    elif master.startswith("local-cluster"):
+        os.environ.setdefault(
+            "SPARK_HOME",
+            os.path.dirname(os.path.abspath(__import__("pyspark").__file__)))
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -32,6 +45,8 @@ def get_spark(app_name: str = "datasketches_java_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executor_memory is not None:
+        builder = builder.config("spark.executor.memory", executor_memory)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -237,6 +237,27 @@ def hll_estimate(images: pd.Series) -> pd.Series:
     return images.map(lambda b: hll.HllSketch.from_bytes(b).estimate())
 
 
+def hll_to_java(tgt_type: str = "hll8") -> Callable:
+    """Engine image → reference HLL image at the chosen target type
+    ('hll4' | 'hll6' | 'hll8'; hll/ToByteArrayImpl counterpart)."""
+    @F.pandas_udf(T.BinaryType())
+    def enc(images: pd.Series) -> pd.Series:
+        from ..sketches import hll_serde
+        writer = {"hll4": hll_serde.to_java_bytes_hll4,
+                  "hll6": hll_serde.to_java_bytes_hll6,
+                  "hll8": hll_serde.to_java_bytes}[tgt_type]
+        return images.map(lambda b: writer(hll.HllSketch.from_bytes(b)))
+    return enc
+
+
+@F.pandas_udf(T.BinaryType())
+def hll_from_java(images: pd.Series) -> pd.Series:
+    """ANY reference HLL image (HLL_4/6/8, LIST/SET modes) → engine
+    image (hll/HllSketch.heapify counterpart)."""
+    from ..sketches import hll_serde
+    return images.map(lambda b: hll_serde.from_java_bytes(b).to_bytes())
+
+
 # ---------------------------------------------------------------------------
 # KLL
 # ---------------------------------------------------------------------------
@@ -284,6 +305,24 @@ def kll_items_sketch_agg(df: DataFrame, col: str,
         return out.to_bytes()
 
     return _two_phase(df, by, [col], build, merge, "kll_items_sketch")
+
+
+@F.pandas_udf(T.BinaryType())
+def kll_to_java(images: pd.Series) -> pd.Series:
+    """Engine KLL-doubles image → reference compact image
+    (kll/KllPreambleUtil.java layout)."""
+    from ..sketches import kll_serde
+    return images.map(
+        lambda b: kll_serde.to_java_bytes(KllDoublesSketch.from_bytes(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def kll_from_java(images: pd.Series) -> pd.Series:
+    """Reference KLL compact image (doubles or floats) → engine image;
+    classic-quantiles legacy images route via kll_serde.
+    classic_doubles_from_java_bytes."""
+    from ..sketches import kll_serde
+    return images.map(lambda b: kll_serde.from_java_bytes(b).to_bytes())
 
 
 def kll_items_to_java(dtype: str = "long") -> Callable:

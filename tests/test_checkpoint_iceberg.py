@@ -1,13 +1,20 @@
 """Iceberg checkpoint path — exercised behind a skip-marker.
 
 BASELINE.json names Iceberg tables as the production checkpoint
-format.  The sandbox ships no Iceberg runtime jar, so the full
-write/read round-trip can only run on a real cluster; this test drives
-the EXACT code path (CheckpointStore(fmt="iceberg") →
-DataFrameWriterV2 ``writeTo(...).using("iceberg").createOrReplace()``)
-and skips at the first missing-runtime error, so any regression in our
-plumbing (wrong API, wrong table naming, wrong resume check) still
-fails loudly wherever the jar IS present.
+format.  The sandbox ships no Iceberg runtime jar and cannot
+fetch one: the jar is Apache-2.0 and public on Maven Central, but this
+environment has no network route (`curl https://repo1.maven.org`
+fails DNS resolution — verified each round), and nothing in the baked
+image provides it (no ~/.ivy2, no ~/.m2, no iceberg-* on any
+classpath).  So the full write/read round-trip can only run on a real
+cluster; this test drives the EXACT code path
+(CheckpointStore(fmt="iceberg") → DataFrameWriterV2
+``writeTo(...).using("iceberg").createOrReplace()``) and skips at the
+first missing-runtime error, so any regression in our plumbing (wrong
+API, wrong table naming, wrong resume check) still fails loudly
+wherever the jar IS present.  On a cluster with network access:
+``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-
+4.0_2.13:<version>`` and the suite runs 0-skip.
 """
 
 from __future__ import annotations
