@@ -66,13 +66,20 @@ def run_pipeline(spark) -> tuple[float, int, dict]:
                           text_col="text")
     warm.clusters.count()
     warm.unpersist()
-    t0 = time.time()
-    res = dedup_pipeline(spark, pages, id_col="url", text_col="text")
-    n_pairs = res.dup_pairs.count()
-    n_clustered = res.clusters.filter("url != cluster_id").count()
-    wall = time.time() - t0
-    res.unpersist()
-    return wall, n_docs, {"dup_pairs": n_pairs, "clustered_docs": n_clustered}
+    reps = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "2"))
+    best = None
+    stats = {}
+    for _ in range(reps):  # best-of-N: the box shows 2-4x wall variance
+        t0 = time.time()
+        res = dedup_pipeline(spark, pages, id_col="url", text_col="text")
+        n_pairs = res.dup_pairs.count()
+        n_clustered = res.clusters.filter("url != cluster_id").count()
+        wall = time.time() - t0
+        res.unpersist()
+        if best is None or wall < best:
+            best = wall
+            stats = {"dup_pairs": n_pairs, "clustered_docs": n_clustered}
+    return best, n_docs, stats
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -116,6 +123,7 @@ def main() -> None:
         # cores so executor JVM + Python worker pairs don't
         # oversubscribe; see BENCH.md).
         from datasketches_java_spark.functions.session import get_spark
+        os.environ.setdefault("SPARK_GRAFT_PIPE_REPS", "1")  # outer reps
         lo = int(os.environ.get("SPARK_GRAFT_CLUSTER_LO", "1"))
         hi = int(os.environ.get("SPARK_GRAFT_CLUSTER_HI", str(lo * 4)))
         cores_per = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "4"))
@@ -152,6 +160,7 @@ def main() -> None:
         # box and measure the machine, not the job.  Best-of-2 per
         # level because the sandbox shows multi-percent CPU steal
         # bursts (see BENCH.md).
+        os.environ.setdefault("SPARK_GRAFT_PIPE_REPS", "1")  # outer reps
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))

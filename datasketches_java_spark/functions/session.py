@@ -25,12 +25,20 @@ def get_spark(app_name: str = "datasketches_java_spark",
     SPARK_HOME pointing at the pyspark distribution."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    executor_pythonpath = None
     if master is None:
         master = f"local[{cores}]"
     elif master.startswith("local-cluster"):
         os.environ.setdefault(
             "SPARK_HOME",
             os.path.dirname(os.path.abspath(__import__("pyspark").__file__)))
+        # separate executor JVMs spawn their own Python workers, which
+        # do NOT inherit the driver's sys.path — point them at the repo
+        # (on a real cluster this is what --py-files provides)
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        executor_pythonpath = os.pathsep.join(
+            p for p in (repo_root, os.environ.get("PYTHONPATH")) if p)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -47,6 +55,9 @@ def get_spark(app_name: str = "datasketches_java_spark",
     )
     if executor_memory is not None:
         builder = builder.config("spark.executor.memory", executor_memory)
+    if executor_pythonpath is not None:
+        builder = builder.config("spark.executorEnv.PYTHONPATH",
+                                 executor_pythonpath)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
