@@ -34,6 +34,21 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str,
     """Return (id_col, canonical_id, group_size) — one row per input
     document, grouped by EXACT equality of the normalized text.
 
+    Read-amplification note (measured, sf0.01 AQE final plan): leaving
+    the collision branch in the lazy plan unconditionally cost 10
+    parquet scans — Catalyst re-derives every sub-chain per union
+    branch and AQE does not empty-propagate through the broadcast
+    join.  So the collision branch is gated by ONE driver-side boolean
+    computed on the lazily-checkpointed `canon` aggregate (fixed-width
+    rows, one per distinct norm — no strings); the checkpoint also
+    makes the clean join reuse it instead of recomputing the
+    scan→agg→agg chain.  Clean-corpus cost: exactly 2 scans of the
+    input (one to build groups — each distinct norm crossing the wire
+    once is the irreducible price of exactness — one to attach the
+    canon to every row via the 8-byte key).  The collision fix-up
+    (64-bit collision within a corpus, ~n²/2^65) is paid only when the
+    gate actually fires.
+
     `key` overrides the 64-bit shuffle key (tests force collisions
     with a constant to exercise the exact fallback path).
     """
@@ -48,12 +63,17 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str,
     canon = (grp.groupBy("normkey")
              .agg(F.min("gid").alias("canonical_id"),
                   F.sum("gsize").alias("group_size"),
-                  F.count("*").alias("n_norms")))
+                  F.count("*").alias("n_norms"))
+             .localCheckpoint(eager=False))
     clean = (docs2.select(id_col, "normkey")
              .join(canon.where(F.col("n_norms") == 1)
                    .select("normkey", "canonical_id", "group_size"),
                    on="normkey")
              .select(id_col, "canonical_id", "group_size"))
+    has_collisions = bool(
+        canon.where(F.col("n_norms") > 1).limit(1).count())
+    if not has_collisions:
+        return clean
     collided = (docs2
                 .join(canon.where(F.col("n_norms") > 1).select("normkey"),
                       on="normkey")
