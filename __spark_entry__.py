@@ -534,9 +534,14 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     identical to the all-pairs scan)."""
     from datasketches_java_spark.functions.text import shingles, tokens
     docs = _read(spark, sf, "documents")
+    # lazy localCheckpoint: the grams sub-plan feeds FOUR consumers
+    # (sizes, both sides of the inverted-index self-join) — without it
+    # Catalyst re-derives the tokenize+shingle chain per consumer
+    # (measured: 7 parquet scans in the AQE final plan; 1 after).
     g = docs.select(
         "doc_id",
-        F.array_distinct(shingles(tokens("text"), w=3)).alias("grams"))
+        F.array_distinct(shingles(tokens("text"), w=3)).alias("grams")) \
+        .localCheckpoint(eager=False)
     sz = g.select("doc_id", F.size("grams").cast("long").alias("c"))
     ex = g.select("doc_id", F.explode("grams").alias("s"))
     inter = (ex.alias("a").join(ex.alias("b"), on="s")

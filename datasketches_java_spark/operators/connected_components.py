@@ -113,6 +113,10 @@ def assign_clusters(df: DataFrame, edges: DataFrame, id_col: str,
     """Attach cluster ids to every row of ``df``; singletons get their
     own id (cluster_id = min member id, deterministic)."""
     comp = connected_components(edges, src, dst).withColumnRenamed("id", id_col)
-    return (df.join(comp, on=id_col, how="left")
+    # comp comes out of the iterative fixpoint (checkpointed, no
+    # Catalyst stats) so Spark would default to sort-merge and SORT the
+    # full df side; hint shuffle-hash — comp (one row per clustered
+    # node, <= edge endpoints) is the build side, df streams.
+    return (df.join(comp.hint("shuffle_hash"), on=id_col, how="left")
               .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
               .drop("component"))
