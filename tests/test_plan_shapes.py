@@ -47,6 +47,34 @@ def test_verify_join_is_shuffle_hash(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_assign_clusters_join_is_shuffle_hash(spark):
+    """Round-4 fix guard: the full-table x CC-component join must not
+    sort-merge (the component side is checkpoint-derived and
+    stats-less, so Spark would otherwise sort the fat table side)."""
+    import __spark_entry__ as entry
+    df = entry.queries()["embedding_dedup_clusters"](
+        spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bounded_read_amplification(spark):
+    """Round-4 fix guard: no query's EXECUTED plan re-derives the
+    input scan more than 4 times (exact_dedup was measured at 10 and
+    ngram at 7 before their lazy-checkpoint/gating fixes — at 100 TB
+    every extra derivation is a full re-read of the corpus)."""
+    import re
+    import __spark_entry__ as entry
+    for qname in ("exact_dedup_documents", "ngram_jaccard_pairs",
+                  "embedding_dedup_clusters", "dedup_clusters_documents"):
+        df = entry.queries()[qname](spark, "/root/testdata/sf0.001")
+        df.collect()   # AQE final plan
+        plan = _physical_plan(df)
+        scans = len(re.findall(r"Scan parquet", plan))
+        assert scans <= 4, f"{qname}: {scans} parquet scans in final plan"
+
+
 def test_scan_prunes_columns(spark):
     """Column pruning reaches the parquet scan: the signature path
     reads only (doc_id, text), never the full documents schema."""
