@@ -18,8 +18,9 @@ from datasketches_java_spark.sketches import (
 from datasketches_java_spark.sketches.frequencies import ItemsSketch
 from datasketches_java_spark.sketches.sampling import ReservoirSketch
 from datasketches_java_spark.sketches import (
-    cpc, cpc_serde, freq_serde, hll_serde, kll_serde, sampling_serde,
-    theta_serde, tuple_serde)
+    cpc, cpc_serde, freq_serde, hll_serde, kll_serde, req, req_serde,
+    sampling_serde, theta_serde, tuple_serde)
+from datasketches_java_spark.sketches.kll_items import KllItemsSketch
 
 # clean, deterministic Python-level failures (struct.error covers
 # short-buffer unpacks — the buffer-too-small analogue of ValueError)
@@ -67,6 +68,18 @@ def _images() -> list[tuple[str, bytes, object]]:
         ("cpc_sliding", cpc_serde.to_java_bytes(
             cpc.sketch_longs(np.arange(50_000), lg_k=10)),
          cpc_serde.from_java_bytes),
+        ("req", req_serde.to_java_bytes(
+            req.ReqSketch(12, True).update_batch(
+                rng.normal(size=20_000))),
+         req_serde.from_java_bytes),
+        ("classic_items_longs", kll_serde.classic_items_to_java_bytes(
+            KllItemsSketch.new(k=4096, dtype="long").update_batch(
+                np.arange(1500))),
+         lambda b: kll_serde.classic_items_from_java_bytes(b, "long")),
+        ("classic_items_strings", kll_serde.classic_items_to_java_bytes(
+            KllItemsSketch.new(k=2048, dtype="string").update_batch(
+                [f"s{i:06d}" for i in range(800)])),
+         lambda b: kll_serde.classic_items_from_java_bytes(b, "string")),
     ]
 
 
