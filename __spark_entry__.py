@@ -599,6 +599,30 @@ def _q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def _q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03;
+    the rolling-hash fingerprint op of the training-data toolbox):
+    ordered word-3-gram hashes → min of each 8-gram sliding window →
+    per-doc distinct mins.  The k-gram hash is md5-derived (top 15 hex
+    chars as int64) so DuckDB can compute the IDENTICAL values and the
+    whole op — window minima included — is oracle-expressible; the
+    production path uses xxhash64 k-grams (same operator, cheaper
+    hash).  Window semantics under oracle: full windows only
+    (positions p ≤ n-7); docs with ≤ 8 grams contribute their global
+    min, exactly winnow_batch's short-doc rule."""
+    from datasketches_java_spark.functions.minhash import winnow_fingerprints
+    from datasketches_java_spark.functions.text import shingles, tokens
+    docs = _read(spark, sf, "documents")
+    grams = shingles(tokens("text"), w=3)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    return (docs.select("doc_id", hashes.alias("hs"))
+            .select("doc_id",
+                    F.explode(winnow_fingerprints("hs")).alias("fingerprint"))
+            .orderBy("doc_id", "fingerprint"))
+
+
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.text import (
         bpe_token_count, char_count, token_count)
@@ -841,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "text_stats_documents": _q_text_stats_documents,
         "quality_filter_documents": _q_quality_filter_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1037,6 +1062,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id""",
+        "winnow_fingerprints_documents": f"""
+            WITH t AS (SELECT doc_id, {SHINGLE_TOKENIZE_SQL} toks
+                       FROM documents),
+            g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+                    list_transform(range(1, len(toks)-2+1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END grams FROM t),
+            hh AS (SELECT doc_id, list_transform(grams,
+                    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) hs
+                   FROM g),
+            p AS (SELECT doc_id, unnest(hs) h, generate_subscripts(hs, 1) pos,
+                         len(hs) n FROM hh),
+            wm AS (SELECT doc_id, n, pos,
+                          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 7 FOLLOWING) m
+                   FROM p),
+            fp AS (SELECT DISTINCT doc_id, m AS fingerprint FROM wm
+                   WHERE n > 8 AND pos <= n - 7
+                   UNION
+                   SELECT doc_id, min(h) AS fingerprint FROM p
+                   WHERE n <= 8 GROUP BY doc_id)
+            SELECT doc_id, fingerprint FROM fp ORDER BY 1, 2""",
         "text_stats_documents": f"""
             SELECT doc_id,
                    len({SHINGLE_TOKENIZE_SQL})
