@@ -3,15 +3,22 @@
 Training-data pipelines carry media as opaque ``binary`` columns with
 typed metadata structs; every transform here is an Arrow-batched
 ``mapInPandas`` so the Spark-side contract — schema, batch shape,
-partition behavior — is real and tested, while the actual codec work
-is stubbed (image/audio libraries are not in this container):
+partition behavior — is real and tested.
 
-  - ``decode_image`` / ``decode_audio``: deterministic fake decoder
-    (seeded from a content hash) behind ``fake=True``; with
-    ``fake=False`` they raise NotImplementedError where a real
-    Pillow/libsndfile call would go.
+Codec coverage: formats decodable in pure numpy are decoded for REAL
+— 24-bit uncompressed BMP (``_decode_bmp``/``encode_bmp``) and PCM
+16-bit WAV (``_decode_wav``/``encode_wav``).  Compressed formats
+(JPEG/PNG/MP3/…) need Pillow/libsndfile, which are not in this
+container; those paths raise NotImplementedError at the marked seam.
+
+  - ``decode_image``: with ``fake=False``, sniffs the magic — BMP
+    decodes to real pixels (nearest-neighbor resampled to the
+    requested batch shape); other formats raise at the seam.  With
+    ``fake=True``, a deterministic content-hash decoder stands in.
+  - ``audio_stats``: same shape — real WAV parse behind
+    ``fake=False``, content-bytes-as-PCM stand-in behind ``fake=True``.
   - ``image_features``: per-image fixed-width float vector (the shape
-    an embedding model would emit) from the fake pixels.
+    an embedding model would emit).
   - ``frame_sample``: deterministic frame-index sampling for video
     byte streams (metadata-only: picks offsets, no codec).
 
@@ -24,6 +31,7 @@ broadcast/equi-joins, never positional.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -49,14 +57,101 @@ def _fake_pixels(buf: bytes, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
 
+# -- real pure-numpy codecs -------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → 24-bit uncompressed bottom-up BMP."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    raster[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # BGR, bottom-up
+    data = raster.tobytes()
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                         2835, 2835, 0, 0))
+    return hdr + data
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 (h, w, 3) RGB.  Top-down images
+    (negative height) handled; other depths/compressions rejected."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP image")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                         f"compression={compression}); only 24-bit "
+                         f"uncompressed is pure-numpy decodable")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(buf, dtype=np.uint8, count=h * row_bytes,
+                           offset=data_off).reshape(h, row_bytes)
+    px = raster[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (px if top_down else px[::-1]).copy()
+
+
+def _resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    sh, sw = px.shape[:2]
+    yi = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xi = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return px[yi][:, xi]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """int16 PCM samples (interleaved if multichannel) → WAV bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def _decode_wav(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """PCM 16-bit WAV → (samples int16 [n, channels], rate, channels).
+    Walks the RIFF chunk list (fmt may not be first); non-PCM or
+    non-16-bit encodings rejected."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    off, rate, channels, bits, fmt_seen = 12, None, None, None, False
+    while off + 8 <= len(buf):
+        cid = buf[off:off + 4]
+        (size,) = struct.unpack_from("<I", buf, off + 4)
+        body = off + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", buf, body)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, "
+                                 f"bits={bits}); only PCM-16 is "
+                                 f"pure-numpy decodable")
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n = min(size, len(buf) - body) // (2 * channels) * channels
+            pcm = np.frombuffer(buf, dtype="<i2", count=n, offset=body)
+            return pcm.reshape(-1, channels), rate, channels
+        off = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
 def decode_image(df: DataFrame, binary_col: str, id_col: str,
                  width: int = 32, height: int = 32,
                  fake: bool = True) -> DataFrame:
     """binary → (id, meta struct, pixels flat uint8 array).
 
-    Real decoders (Pillow / turbojpeg) drop in at the marked line;
-    everything around them — Arrow batching, output schema, the
-    columnar pixel layout — is the production plumbing.
+    ``fake=False`` is a REAL decode path for 24-bit BMP (pure numpy;
+    pixels nearest-neighbor resampled to the requested batch shape,
+    meta reports the original dims).  Compressed formats raise
+    NotImplementedError at the marked seam — Pillow/turbojpeg drop in
+    there.  ``fake=True`` keeps the deterministic content-hash
+    stand-in for fixtures without media bytes.
     """
     schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
@@ -70,12 +165,18 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
                 continue
             rows = []
             for rid, buf in zip(pdf[id_col], pdf[binary_col]):
-                if not fake:
+                if fake:
+                    px = _fake_pixels(buf, width, height)
+                    meta = (width, height, 3, "fake-rgb")
+                elif buf[:2] == b"BM":
+                    src = _decode_bmp(bytes(buf))
+                    meta = (src.shape[1], src.shape[0], 3, "bmp")
+                    px = _resize_nearest(src, width, height)
+                else:
                     raise NotImplementedError(
-                        "real image decode requires Pillow; not in container")
-                px = _fake_pixels(buf, width, height)  # <- real decoder here
-                rows.append((rid, (width, height, 3, "fake-rgb"),
-                             px.ravel().tolist()))
+                        "compressed image decode requires Pillow; "
+                        "not in container")  # <- real decoder seam
+                rows.append((rid, meta, px.ravel().tolist()))
             yield pd.DataFrame(rows, columns=[id_col, "meta", "pixels"])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema)
@@ -132,8 +233,12 @@ def frame_sample(df: DataFrame, binary_col: str, id_col: str,
 
 def audio_stats(df: DataFrame, binary_col: str, id_col: str,
                 fake: bool = True) -> DataFrame:
-    """binary audio → (id, n_samples, rms) — fake PCM interpretation of
-    the byte stream (a real libsndfile decode drops in)."""
+    """binary audio → (id, n_samples, rms).
+
+    ``fake=False`` REALLY parses PCM-16 WAV (pure numpy RIFF walk;
+    multichannel RMS over all channels); compressed audio raises at
+    the seam where libsndfile would drop in.  ``fake=True`` interprets
+    the raw bytes as PCM — the fixture stand-in."""
     schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("n_samples", T.LongType()),
@@ -146,11 +251,17 @@ def audio_stats(df: DataFrame, binary_col: str, id_col: str,
                 continue
             rows = []
             for rid, buf in zip(pdf[id_col], pdf[binary_col]):
-                if not fake:
+                if fake:
+                    pcm = np.frombuffer(
+                        (buf or b"\x00\x00")[: (len(buf or b"12") // 2) * 2],
+                        dtype=np.int16).astype(np.float64)
+                elif (buf or b"")[:4] == b"RIFF":
+                    samples, _rate, _ch = _decode_wav(bytes(buf))
+                    pcm = samples.astype(np.float64).ravel()
+                else:
                     raise NotImplementedError(
-                        "real audio decode requires libsndfile; not in container")
-                pcm = np.frombuffer((buf or b"\x00\x00")[: (len(buf or b"12") // 2) * 2],
-                                    dtype=np.int16).astype(np.float64)
+                        "compressed audio decode requires libsndfile; "
+                        "not in container")  # <- real decoder seam
                 rows.append((rid, len(pcm),
                              float(np.sqrt(np.mean(pcm ** 2))) if len(pcm) else 0.0))
             yield pd.DataFrame(rows, columns=[id_col, "n_samples", "rms"])

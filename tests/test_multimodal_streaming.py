@@ -41,9 +41,70 @@ def test_decode_image_contract(spark, media):
     assert again.exceptAll(out).count() == 0
 
 
-def test_decode_image_real_path_stubbed(spark, media):
+def test_decode_image_real_path_raises_for_compressed(spark, media):
+    """Non-BMP bytes on the real path still raise at the Pillow seam."""
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         decode_image(media.limit(1), "blob", "media_id", fake=False).collect()
+
+
+def test_decode_image_real_bmp(spark):
+    """REAL pure-numpy BMP decode through the Spark operator: exact
+    pixel recovery at native size, deterministic nearest-neighbor
+    downsample otherwise, original dims in meta."""
+    from datasketches_java_spark.functions.multimodal import (
+        _decode_bmp, encode_bmp)
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+            for i in range(4)}
+    # library-level exact roundtrip (incl. row padding: w=20 -> 60B rows)
+    for px in imgs.values():
+        assert np.array_equal(_decode_bmp(encode_bmp(px)), px)
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(px))) for i, px in imgs.items()],
+        "media_id long, blob binary")
+    rows = decode_image(df, "blob", "media_id", width=20, height=16,
+                        fake=False).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r["meta"]["width"], r["meta"]["height"],
+                r["meta"]["format"]) == (20, 16, "bmp")
+        got = np.array(r["pixels"], dtype=np.uint8).reshape(16, 20, 3)
+        assert np.array_equal(got, imgs[r["media_id"]])
+    # resample path keeps the contract shape
+    small = decode_image(df, "blob", "media_id", width=8, height=8,
+                         fake=False).collect()
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in small)
+
+
+def test_audio_stats_real_wav(spark):
+    """REAL pure-numpy WAV parse through the Spark operator: exact
+    sample count and RMS for synthesized PCM-16 audio, including a
+    stereo file and a RIFF layout with a leading junk chunk."""
+    from datasketches_java_spark.functions.multimodal import (
+        _decode_wav, encode_wav)
+    t = np.arange(1600)
+    mono = (np.sin(2 * np.pi * 440 * t / 16000) * 12000).astype(np.int16)
+    stereo = np.column_stack([mono, (mono // 2)]).ravel()
+    wav_mono = encode_wav(mono)
+    wav_stereo = encode_wav(stereo, channels=2)
+    # chunk-walk robustness: junk chunk before fmt
+    junk = (wav_mono[:12] + b"JUNK" + np.int32(4).tobytes() + b"zzzz"
+            + wav_mono[12:])
+    s, rate, ch = _decode_wav(junk)
+    assert (len(s), rate, ch) == (1600, 16000, 1)
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_mono)), (1, bytearray(wav_stereo))],
+        "media_id long, blob binary")
+    out = {r["media_id"]: r for r in
+           audio_stats(df, "blob", "media_id", fake=False).collect()}
+    assert out[0]["n_samples"] == 1600
+    assert out[1]["n_samples"] == 3200
+    expect = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    assert abs(out[0]["rms"] - expect) < 1e-9
+    with pytest.raises(Exception, match="NotImplementedError|libsndfile"):
+        audio_stats(spark.createDataFrame([(9, b"\xffmp3data")],
+                                          "media_id long, blob binary"),
+                    "blob", "media_id", fake=False).collect()
 
 
 def test_image_feature_shape(spark, media):
