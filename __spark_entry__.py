@@ -299,18 +299,38 @@ def _q_kll_longs_orderdate(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_kll_strings_custname(spark: SparkSession, sf: str) -> DataFrame:
     """Generic-item KLL over STRINGS (quantiles/ItemsSketch.java:70
-    comparator contract): lexicographic p25/p50/p75 of c_name, with
-    the sketch column routed THROUGH the reference's classic generic
-    ItemsSketch wire format (quantiles/ItemsByteArrayImpl.java +
-    ArrayOfStringsSerDe) and heapified back before querying — the
-    interop path a datasketches-java string-quantile consumer hits.
+    comparator contract): lexicographic p25/p50/p75 of c_name.
     Code-point order == DuckDB/Spark binary UTF-8 collation on this
-    ASCII column, so exact-mode quantiles hash-match the oracle."""
+    ASCII column, so exact-mode quantiles hash-match the oracle.
+    (The classic-ItemsSketch wire interop is exercised by the
+    scale-proof kll_items_serde_roundtrip_names query — the classic
+    format cannot represent estimation-mode KLL states, so routing
+    THIS unbounded aggregate through it would crash once n outgrows
+    exact mode.)"""
+    from datasketches_java_spark.functions.sketch_aggs import (
+        kll_items_quantiles, kll_items_sketch_agg)
+    cust = _read(spark, sf, "customer")
+    sk = kll_items_sketch_agg(cust, "c_name", k=4096, dtype="string")
+    q = kll_items_quantiles([0.25, 0.5, 0.75], "string")
+    return (sk.select(q("kll_items_sketch").alias("qs"))
+            .select(F.col("qs")[0].alias("q25"),
+                    F.col("qs")[1].alias("q50"),
+                    F.col("qs")[2].alias("q75")))
+
+
+def _q_kll_items_serde_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """String-quantile wire interop, scale-proof: p25/p50/p75 of the
+    names of the first 100 customers, with the sketch routed THROUGH
+    the reference's classic generic ItemsSketch image
+    (quantiles/ItemsByteArrayImpl.java + ArrayOfStringsSerDe) and
+    heapified back.  The input is bounded (c_custkey <= 100 exists at
+    every SF), so the sketch is always exact-mode — the regime the
+    classic format can represent — at any corpus scale."""
     from datasketches_java_spark.functions.sketch_aggs import (
         kll_items_from_java, kll_items_quantiles, kll_items_sketch_agg,
         kll_items_to_java)
-    cust = _read(spark, sf, "customer")
-    sk = kll_items_sketch_agg(cust, "c_name", k=4096, dtype="string")
+    cust = _read(spark, sf, "customer").where(F.col("c_custkey") <= 100)
+    sk = kll_items_sketch_agg(cust, "c_name", k=2048, dtype="string")
     wire = sk.select(
         kll_items_from_java("string")(kll_items_to_java("string")(
             "kll_items_sketch")).alias("kll_items_sketch"))
@@ -851,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_stats": _q_kll_price_stats,
         "kll_longs_orderdate_quantiles": _q_kll_longs_orderdate,
         "kll_strings_custname_quantiles": _q_kll_strings_custname,
+        "kll_items_serde_roundtrip_names": _q_kll_items_serde_roundtrip,
         "freq_orderpriority_counts": _q_freq_orderpriority,
         "freq_orderpriority_wire_roundtrip": _q_freq_orderpriority_wire,
         "freq_heavy_suppliers": _q_freq_heavy_suppliers,
@@ -957,6 +978,15 @@ def oracle_sql() -> dict[str, str]:
             WITH r AS (SELECT c_name v,
                               cume_dist() OVER (ORDER BY c_name) cd
                        FROM customer WHERE c_name IS NOT NULL)
+            SELECT MIN(v) FILTER (WHERE cd >= 0.25) AS q25,
+                   MIN(v) FILTER (WHERE cd >= 0.5)  AS q50,
+                   MIN(v) FILTER (WHERE cd >= 0.75) AS q75
+            FROM r""",
+        "kll_items_serde_roundtrip_names": """
+            WITH r AS (SELECT c_name v,
+                              cume_dist() OVER (ORDER BY c_name) cd
+                       FROM customer
+                       WHERE c_custkey <= 100 AND c_name IS NOT NULL)
             SELECT MIN(v) FILTER (WHERE cd >= 0.25) AS q25,
                    MIN(v) FILTER (WHERE cd >= 0.5)  AS q50,
                    MIN(v) FILTER (WHERE cd >= 0.75) AS q75

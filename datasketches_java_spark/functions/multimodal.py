@@ -126,10 +126,10 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int, int]:
         if cid == b"fmt ":
             audio_fmt, channels, rate, _, _, bits = \
                 struct.unpack_from("<HHIIHH", buf, body)
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits != 16 or channels < 1:
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, "
-                                 f"bits={bits}); only PCM-16 is "
-                                 f"pure-numpy decodable")
+                                 f"bits={bits}, channels={channels}); "
+                                 f"only PCM-16 is pure-numpy decodable")
             fmt_seen = True
         elif cid == b"data":
             if not fmt_seen:
@@ -168,7 +168,7 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
                 if fake:
                     px = _fake_pixels(buf, width, height)
                     meta = (width, height, 3, "fake-rgb")
-                elif buf[:2] == b"BM":
+                elif (buf or b"")[:2] == b"BM":
                     src = _decode_bmp(bytes(buf))
                     meta = (src.shape[1], src.shape[0], 3, "bmp")
                     px = _resize_nearest(src, width, height)

@@ -240,6 +240,9 @@ def hll_estimate(images: pd.Series) -> pd.Series:
 def hll_to_java(tgt_type: str = "hll8") -> Callable:
     """Engine image → reference HLL image at the chosen target type
     ('hll4' | 'hll6' | 'hll8'; hll/ToByteArrayImpl counterpart)."""
+    if tgt_type not in ("hll4", "hll6", "hll8"):  # fail at call time,
+        raise ValueError(f"tgt_type must be hll4/hll6/hll8: {tgt_type}")
+
     @F.pandas_udf(T.BinaryType())
     def enc(images: pd.Series) -> pd.Series:
         from ..sketches import hll_serde
@@ -328,13 +331,27 @@ def kll_from_java(images: pd.Series) -> pd.Series:
 def kll_items_to_java(dtype: str = "long") -> Callable:
     """Engine KLL-items image → the reference's classic generic
     ItemsSketch wire format (quantiles/ItemsByteArrayImpl.java with
-    ArrayOfLongsSerDe / ArrayOfStringsSerDe; exact-mode states)."""
+    ArrayOfLongsSerDe / ArrayOfStringsSerDe; exact-mode states).
+    ``dtype`` is checked against the sketch so a wiring mistake fails
+    loudly rather than silently encoding the other codec."""
+    if dtype not in ("long", "string"):
+        raise ValueError(f"dtype must be 'long' or 'string': {dtype}")
+
     @F.pandas_udf(T.BinaryType())
     def enc(images: pd.Series) -> pd.Series:
-        from ..sketches.kll_items import KllItemsSketch
+        from ..sketches.kll_items import (_DTYPE_LONG, _DTYPE_STRING,
+                                          KllItemsSketch)
         from ..sketches.kll_serde import classic_items_to_java_bytes
-        return images.map(
-            lambda b: classic_items_to_java_bytes(KllItemsSketch.from_bytes(b)))
+        want = _DTYPE_LONG if dtype == "long" else _DTYPE_STRING
+
+        def go(b: bytes) -> bytes:
+            sk = KllItemsSketch.from_bytes(b)
+            if sk.dtype_code != want:
+                raise ValueError(
+                    f"kll_items_to_java({dtype!r}) fed a sketch of the "
+                    f"other item type")
+            return classic_items_to_java_bytes(sk)
+        return images.map(go)
     return enc
 
 

@@ -55,8 +55,10 @@ def _pack_compactor(c: _Compactor) -> bytes:
             + c.buf.astype("<f4").tobytes())
 
 
-def _unpack_compactor(buf: bytes, off: int, lg_weight: int, hra: bool,
+def _unpack_compactor(buf: bytes, off: int, hra: bool,
                       lvl0_sorted: bool) -> tuple[_Compactor, int]:
+    # lgWeight comes from the wire (the image is authoritative about
+    # its own level structure, like the reference's extractCompactor)
     state, ssf, lg_wt, num_sections, count = _CHDR.unpack_from(buf, off)
     off += _CHDR.size
     items = np.frombuffer(buf, dtype="<f4", count=count,
@@ -128,7 +130,7 @@ def from_java_bytes(buf: bytes) -> ReqSketch:
     if num_compactors <= 1:  # EXACT
         if pre_ints != 2:
             raise ValueError("EXACT REQ image must have preInts=2")
-        c, _ = _unpack_compactor(buf, 8, 0, hra, lvl0_sorted)
+        c, _ = _unpack_compactor(buf, 8, hra, lvl0_sorted)
         n = c.count()
         mn = float(c.buf.min()) if n else np.nan
         mx = float(c.buf.max()) if n else np.nan
@@ -141,6 +143,6 @@ def from_java_bytes(buf: bytes) -> ReqSketch:
     comps = []
     for lg in range(num_compactors):
         sorted_i = lvl0_sorted if lg == 0 else True
-        c, off = _unpack_compactor(buf, off, lg, hra, sorted_i)
+        c, off = _unpack_compactor(buf, off, hra, sorted_i)
         comps.append(c)
     return ReqSketch(k, hra, int(n), float(mn), float(mx), comps)

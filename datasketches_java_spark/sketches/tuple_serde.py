@@ -382,7 +382,16 @@ def aod_union_to_java_bytes(sk: TupleSketch, union_theta: np.uint64 | None
         src_keys = sk.hashes.astype(np.uint64)
         src_vals = np.asarray(sk.values, dtype=np.float64).reshape(
             count, n_values)
-        for i in range(count):
+        # vectorized fast path: every key whose home slot (h & mask) is
+        # unique lands there in one scatter; only colliding keys walk
+        # the probe sequence in Python (a handful at sane load factors)
+        home = (src_keys & np.uint64(mask)).astype(np.int64)
+        order = np.argsort(home, kind="stable")
+        first_of_slot = np.ones(count, dtype=bool)
+        first_of_slot[order[1:]] = home[order[1:]] != home[order[:-1]]
+        keys[home[first_of_slot]] = src_keys[first_of_slot]
+        vals[home[first_of_slot]] = src_vals[first_of_slot]
+        for i in np.nonzero(~first_of_slot)[0]:
             h = int(src_keys[i])
             idx = h & mask
             stride = 2 * ((h >> lg_cap) & 0x7F) + 1
