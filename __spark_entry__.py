@@ -633,11 +633,14 @@ def _q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.minhash import winnow_fingerprints
     from datasketches_java_spark.functions.text import shingles, tokens
     docs = _read(spark, sf, "documents")
-    grams = shingles(tokens("text"), w=3)
+    # bind the gram array to a real column BEFORE the higher-order
+    # transform: an unbound non-trivial array subtree re-evaluates per
+    # element (the O(n²) lambda trap, functions/text.py note)
+    grams = docs.select("doc_id", shingles(tokens("text"), w=3).alias("g"))
     hashes = F.transform(
-        grams,
+        F.col("g"),
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
-    return (docs.select("doc_id", hashes.alias("hs"))
+    return (grams.select("doc_id", hashes.alias("hs"))
             .select("doc_id",
                     F.explode(winnow_fingerprints("hs")).alias("fingerprint"))
             .orderBy("doc_id", "fingerprint"))
