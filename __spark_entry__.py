@@ -646,6 +646,22 @@ def _q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "fingerprint"))
 
 
+def _q_frequent_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level frequent-8-gram spans (the Lee-et-al substring
+    dedup pre-pass, operators/ngram_spans.py): every position where a
+    document repeats an 8-gram occurring ≥ 3 times corpus-wide, with
+    its doc-frequency and total count.  md5-derived gram hashes keep
+    the whole op — explode, count, broadcast-join — oracle-expressible;
+    production swaps in xxhash64 with the identical plan."""
+    from datasketches_java_spark.operators.ngram_spans import (
+        frequent_ngram_spans)
+    from datasketches_java_spark.functions.text import tokens
+    docs = _read(spark, sf, "documents")
+    return (frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                                 n=8, min_count=3)
+            .orderBy("doc_id", "pos"))
+
+
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.text import (
         bpe_token_count, char_count, token_count)
@@ -890,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
+        "frequent_ngram_spans_documents": _q_frequent_ngram_spans,
         "text_stats_documents": _q_text_stats_documents,
         "quality_filter_documents": _q_quality_filter_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1118,6 +1135,24 @@ def oracle_sql() -> dict[str, str]:
                    SELECT doc_id, min(h) AS fingerprint FROM p
                    WHERE n <= 8 GROUP BY doc_id)
             SELECT doc_id, fingerprint FROM fp ORDER BY 1, 2""",
+        "frequent_ngram_spans_documents": f"""
+            WITH t AS (SELECT doc_id, {SHINGLE_TOKENIZE_SQL} toks
+                       FROM documents),
+            hh AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+                     list_transform(range(1, len(toks)-8+2),
+                       i -> CAST(('0x' || substr(md5(
+                              array_to_string(toks[i:i+7], ' ')), 1, 15))
+                            AS BIGINT))
+                     ELSE CAST([] AS BIGINT[]) END hs FROM t),
+            p AS (SELECT doc_id, unnest(hs) h,
+                         generate_subscripts(hs, 1) i FROM hh),
+            hot AS (SELECT h, count(*) tc,
+                           count(DISTINCT doc_id) nd
+                    FROM p GROUP BY 1 HAVING count(*) >= 3)
+            SELECT p.doc_id, p.i - 1 AS pos, p.h AS gram_hash,
+                   hot.nd AS n_docs, hot.tc AS total_count
+            FROM p JOIN hot ON p.h = hot.h
+            ORDER BY 1, 2""",
         "text_stats_documents": f"""
             SELECT doc_id,
                    len({SHINGLE_TOKENIZE_SQL})

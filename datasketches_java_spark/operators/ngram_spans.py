@@ -1,0 +1,64 @@
+"""Corpus-level frequent n-gram span detection.
+
+The substring-dedup pass of a training-data pipeline (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better", ACL'22):
+find every position where a document repeats an n-gram that occurs at
+least ``min_count`` times across the WHOLE corpus — the spans a
+boilerplate/repetition filter masks or drops.
+
+Spark-first shape, 100-TB cost model:
+  - one posexplode pass producing (doc_id, pos, gram_hash) — the only
+    row-multiplying step, O(total tokens) rows of ~20 bytes (the gram
+    STRING never leaves its originating task: it is hashed in the same
+    projection);
+  - one count aggregation on the 8-byte hash (map-side partial
+    combine);
+  - the hot set (count >= min_count) is tiny — corpus-frequent grams
+    only — and joins back as a broadcast, so the spans pass adds no
+    second shuffle of the exploded stream.
+
+The hash is md5-derived (top 15 hex chars as int64) so a DuckDB oracle
+can compute identical values; swap ``hash_fn`` for ``F.xxhash64`` in
+production for a cheaper hash with the same plan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash64(gram: Column) -> Column:
+    """int64 gram hash DuckDB can replicate:
+    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def frequent_ngram_spans(docs: DataFrame, id_col: str, text_col: str,
+                         tokens_fn: Callable[[str], Column],
+                         n: int = 8, min_count: int = 5,
+                         hash_fn: Callable[[Column], Column] = md5_hash64,
+                         ) -> DataFrame:
+    """Return (id_col, pos, gram_hash, n_docs, total_count) — one row
+    per occurrence of a corpus-frequent n-gram, where ``pos`` is the
+    0-based token offset of the gram in its document, ``total_count``
+    its corpus-wide occurrence count and ``n_docs`` how many distinct
+    documents contain it (boilerplate = high n_docs; within-doc
+    repetition = high total_count at low n_docs)."""
+    toks = docs.select(F.col(id_col), tokens_fn(text_col).alias("_toks"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.expr(f"slice(_toks, 1, greatest(size(_toks) - {n - 1}, 0))"),
+            lambda _x, i: hash_fn(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i + F.lit(1),
+                                         F.lit(n)))),
+        )).alias("pos", "gram_hash"))
+    hot = (grams.groupBy("gram_hash")
+           .agg(F.count("*").alias("total_count"),
+                F.count_distinct(id_col).alias("n_docs"))
+           .where(F.col("total_count") >= min_count))
+    return (grams.join(F.broadcast(hot), on="gram_hash")
+            .select(id_col, "pos", "gram_hash", "n_docs", "total_count"))

@@ -1,0 +1,47 @@
+"""Corpus-level frequent n-gram span detection
+(operators/ngram_spans.py — the Lee-et-al substring-dedup pre-pass)."""
+
+from __future__ import annotations
+
+from datasketches_java_spark.functions.text import tokens
+from datasketches_java_spark.operators.ngram_spans import (
+    frequent_ngram_spans)
+
+
+def test_boilerplate_vs_within_doc_repetition(spark):
+    boiler = "all rights reserved click here to subscribe now today"
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta gamma {boiler} delta"),
+         (2, f"epsilon zeta {boiler} eta theta"),
+         (3, f"{boiler} iota"),
+         (4, "totally unique words only appearing once here friends"),
+         (5, ("repeat me repeat me repeat me repeat me repeat me "
+              "repeat me repeat me repeat me repeat me")),
+        ], "doc_id long, text string")
+    out = frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                               n=8, min_count=3).collect()
+    assert out, "no spans found"
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # the 9-token boilerplate has two 8-gram positions in docs 1-3
+    assert set(by_doc) >= {1, 2, 3}
+    assert 4 not in by_doc
+    for d in (1, 2, 3):
+        assert len(by_doc[d]) == 2
+        assert all(r.n_docs == 3 and r.total_count == 3 for r in by_doc[d])
+    # doc 5's within-doc repetition: "repeat me"*9 = 18 tokens,
+    # 11 8-gram positions, only 2 distinct grams, each in ONE doc
+    if 5 in by_doc:
+        assert all(r.n_docs == 1 for r in by_doc[5])
+    # positions are 0-based token offsets of the gram start
+    d1 = sorted(r.pos for r in by_doc[1])
+    assert d1 == [3, 4]   # "alpha beta gamma" = 3 tokens before boiler
+
+
+def test_short_docs_produce_no_spans(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "too short")],
+        "doc_id long, text string")
+    assert frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                                n=8, min_count=2).count() == 0
