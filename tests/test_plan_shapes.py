@@ -67,7 +67,8 @@ def test_bounded_read_amplification(spark):
     import re
     import __spark_entry__ as entry
     for qname in ("exact_dedup_documents", "ngram_jaccard_pairs",
-                  "embedding_dedup_clusters", "dedup_clusters_documents"):
+                  "embedding_dedup_clusters", "dedup_clusters_documents",
+                  "frequent_ngram_spans_documents"):
         df = entry.queries()[qname](spark, "/root/testdata/sf0.001")
         df.collect()   # AQE final plan
         plan = _physical_plan(df)
