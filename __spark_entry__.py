@@ -662,6 +662,21 @@ def _q_frequent_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "pos"))
 
 
+def _q_remove_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaning transform over the span detector: documents with
+    every corpus-frequent-8-gram-covered token dropped, plus the
+    removed-token count — the actual substring-dedup edit a pipeline
+    applies before training (operators/ngram_spans.
+    remove_frequent_ngram_spans)."""
+    from datasketches_java_spark.operators.ngram_spans import (
+        remove_frequent_ngram_spans)
+    from datasketches_java_spark.functions.text import tokens
+    docs = _read(spark, sf, "documents")
+    return (remove_frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                                        n=8, min_count=3)
+            .orderBy("doc_id"))
+
+
 def _q_text_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.text import (
         bpe_token_count, char_count, token_count)
@@ -907,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "frequent_ngram_spans_documents": _q_frequent_ngram_spans,
+        "remove_ngram_spans_documents": _q_remove_ngram_spans,
         "text_stats_documents": _q_text_stats_documents,
         "quality_filter_documents": _q_quality_filter_documents,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1153,6 +1169,33 @@ def oracle_sql() -> dict[str, str]:
                    hot.nd AS n_docs, hot.tc AS total_count
             FROM p JOIN hot ON p.h = hot.h
             ORDER BY 1, 2""",
+        "remove_ngram_spans_documents": f"""
+            WITH t AS (SELECT doc_id, {SHINGLE_TOKENIZE_SQL} toks
+                       FROM documents),
+            hh AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+                     list_transform(range(1, len(toks)-8+2),
+                       i -> CAST(('0x' || substr(md5(
+                              array_to_string(toks[i:i+7], ' ')), 1, 15))
+                            AS BIGINT))
+                     ELSE CAST([] AS BIGINT[]) END hs FROM t),
+            p AS (SELECT doc_id, unnest(hs) h,
+                         generate_subscripts(hs, 1) i FROM hh),
+            hot AS (SELECT h FROM p GROUP BY 1 HAVING count(*) >= 3),
+            spanpos AS (SELECT DISTINCT p.doc_id, p.i - 1 + r.off AS tp
+                        FROM p JOIN hot ON p.h = hot.h,
+                             range(0, 8) r(off)),
+            tok AS (SELECT doc_id, unnest(toks) tok,
+                           generate_subscripts(toks, 1) - 1 AS tp FROM t),
+            kept AS (SELECT k.doc_id, k.tok, k.tp FROM tok k
+                     LEFT JOIN spanpos sp
+                       ON sp.doc_id = k.doc_id AND sp.tp = k.tp
+                     WHERE sp.tp IS NULL),
+            ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) ct,
+                          count(*) kc FROM kept GROUP BY 1)
+            SELECT t.doc_id, coalesce(ka.ct, '') AS clean_text,
+                   CAST(len(t.toks) - coalesce(ka.kc, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM t LEFT JOIN ka USING (doc_id) ORDER BY 1""",
         "text_stats_documents": f"""
             SELECT doc_id,
                    len({SHINGLE_TOKENIZE_SQL})

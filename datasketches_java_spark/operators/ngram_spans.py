@@ -62,3 +62,43 @@ def frequent_ngram_spans(docs: DataFrame, id_col: str, text_col: str,
            .where(F.col("total_count") >= min_count))
     return (grams.join(F.broadcast(hot), on="gram_hash")
             .select(id_col, "pos", "gram_hash", "n_docs", "total_count"))
+
+
+def remove_frequent_ngram_spans(docs: DataFrame, id_col: str,
+                                text_col: str,
+                                tokens_fn: Callable[[str], Column],
+                                n: int = 8, min_count: int = 5,
+                                hash_fn: Callable[[Column], Column]
+                                = md5_hash64) -> DataFrame:
+    """The cleaning transform over frequent_ngram_spans: drop every
+    token covered by a corpus-frequent n-gram occurrence and return
+    (id_col, clean_text, n_tokens_removed) — one row per input
+    document (documents with nothing to remove pass through).
+
+    Cost on top of detection: the span list is O(duplicated spans) —
+    tiny next to the corpus — so the cover set (span × n positions)
+    aggregates into a per-doc covered-position array that joins back
+    to the token stream as a LEFT join on the 8-byte id; tokens never
+    shuffle with their text twice (the rebuild groups the posexploded
+    tokens once).
+    """
+    spans = frequent_ngram_spans(docs, id_col, text_col, tokens_fn,
+                                 n, min_count, hash_fn)
+    covered = (spans
+               .select(id_col, F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tokpos"))
+               .groupBy(id_col)
+               .agg(F.collect_set("tokpos").alias("_cov")))
+    toks = docs.select(F.col(id_col), tokens_fn(text_col).alias("_toks"))
+    joined = toks.join(covered, on=id_col, how="left")
+    kept = F.filter(
+        F.transform("_toks", lambda t, i: F.struct(i.alias("i"),
+                                                   t.alias("t"))),
+        lambda s: F.when(F.col("_cov").isNull(), F.lit(True))
+                   .otherwise(~F.array_contains("_cov", s["i"])))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).cast("long")
+        .alias("n_tokens_removed"))

@@ -45,3 +45,24 @@ def test_short_docs_produce_no_spans(spark):
         "doc_id long, text string")
     assert frequent_ngram_spans(docs, "doc_id", "text", tokens,
                                 n=8, min_count=2).count() == 0
+
+
+def test_remove_spans_edits_text(spark):
+    from datasketches_java_spark.operators.ngram_spans import (
+        remove_frequent_ngram_spans)
+    boiler = "all rights reserved click here to subscribe now"  # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {boiler} gamma"),
+         (2, f"{boiler} delta epsilon"),
+         (3, f"zeta {boiler}"),
+         (4, "unique text with no shared grams at all"),
+        ], "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_frequent_ngram_spans(
+        docs, "doc_id", "text", tokens, n=8, min_count=3).collect()}
+    assert len(out) == 4                       # one row per input doc
+    assert out[1].clean_text == "alpha beta gamma"
+    assert out[2].clean_text == "delta epsilon"
+    assert out[3].clean_text == "zeta"
+    assert out[4].clean_text == "unique text with no shared grams at all"
+    assert out[1].n_tokens_removed == 8
+    assert out[4].n_tokens_removed == 0
