@@ -40,7 +40,7 @@ def frequent_ngram_spans(docs: DataFrame, id_col: str, text_col: str,
                          tokens_fn: Callable[[str], Column],
                          n: int = 8, min_count: int = 5,
                          hash_fn: Callable[[Column], Column] = md5_hash64,
-                         ) -> DataFrame:
+                         broadcast_hot: bool = True) -> DataFrame:
     """Return (id_col, pos, gram_hash, n_docs, total_count) — one row
     per occurrence of a corpus-frequent n-gram, where ``pos`` is the
     0-based token offset of the gram in its document, ``total_count``
@@ -60,7 +60,13 @@ def frequent_ngram_spans(docs: DataFrame, id_col: str, text_col: str,
            .agg(F.count("*").alias("total_count"),
                 F.count_distinct(id_col).alias("n_docs"))
            .where(F.col("total_count") >= min_count))
-    return (grams.join(F.broadcast(hot), on="gram_hash")
+    # the hot set is grams at >= min_count corpus frequency — tiny for
+    # sane thresholds.  broadcast_hot=False falls back to a shuffled
+    # join (AQE may still pick broadcast from runtime stats) for
+    # pathological (low min_count × huge corpus) configurations where
+    # forcing a broadcast could exceed executor memory.
+    hot_side = F.broadcast(hot) if broadcast_hot else hot
+    return (grams.join(hot_side, on="gram_hash")
             .select(id_col, "pos", "gram_hash", "n_docs", "total_count"))
 
 
