@@ -13,9 +13,13 @@ Spark-first shape, 100-TB cost model:
     projection);
   - one count aggregation on the 8-byte hash (map-side partial
     combine);
-  - the hot set (count >= min_count) is tiny — corpus-frequent grams
-    only — and joins back as a broadcast, so the spans pass adds no
-    second shuffle of the exploded stream.
+  - the hot set (count >= min_count) joins back SHUFFLED by default:
+    at 10^12 docs the set of n-grams at >= min_count corpus frequency
+    is plausibly billions of rows, so a forced broadcast would OOM the
+    executors.  AQE still converts the join to broadcast from runtime
+    stats whenever the hot set is actually small (the common case at
+    sane thresholds), so small corpora lose nothing; callers that KNOW
+    the set is tiny can force it with ``broadcast_hot=True``.
 
 The hash is md5-derived (top 15 hex chars as int64) so a DuckDB oracle
 can compute identical values; swap ``hash_fn`` for ``F.xxhash64`` in
@@ -40,7 +44,7 @@ def frequent_ngram_spans(docs: DataFrame, id_col: str, text_col: str,
                          tokens_fn: Callable[[str], Column],
                          n: int = 8, min_count: int = 5,
                          hash_fn: Callable[[Column], Column] = md5_hash64,
-                         broadcast_hot: bool = True) -> DataFrame:
+                         broadcast_hot: bool = False) -> DataFrame:
     """Return (id_col, pos, gram_hash, n_docs, total_count) — one row
     per occurrence of a corpus-frequent n-gram, where ``pos`` is the
     0-based token offset of the gram in its document, ``total_count``
@@ -60,11 +64,11 @@ def frequent_ngram_spans(docs: DataFrame, id_col: str, text_col: str,
            .agg(F.count("*").alias("total_count"),
                 F.count_distinct(id_col).alias("n_docs"))
            .where(F.col("total_count") >= min_count))
-    # the hot set is grams at >= min_count corpus frequency — tiny for
-    # sane thresholds.  broadcast_hot=False falls back to a shuffled
-    # join (AQE may still pick broadcast from runtime stats) for
-    # pathological (low min_count × huge corpus) configurations where
-    # forcing a broadcast could exceed executor memory.
+    # Default: shuffled join.  The hot-set size is data-dependent (at
+    # web scale it can be billions of rows), so the safe plan never
+    # FORCES a broadcast; AQE promotes the join to broadcast from
+    # runtime stats when the set is genuinely small.  broadcast_hot
+    # remains as an explicit opt-in for callers with a known-tiny set.
     hot_side = F.broadcast(hot) if broadcast_hot else hot
     return (grams.join(hot_side, on="gram_hash")
             .select(id_col, "pos", "gram_hash", "n_docs", "total_count"))
@@ -97,14 +101,23 @@ def remove_frequent_ngram_spans(docs: DataFrame, id_col: str,
                .agg(F.collect_set("tokpos").alias("_cov")))
     toks = docs.select(F.col(id_col), tokens_fn(text_col).alias("_toks"))
     joined = toks.join(covered, on=id_col, how="left")
-    kept = F.filter(
-        F.transform("_toks", lambda t, i: F.struct(i.alias("i"),
-                                                   t.alias("t"))),
-        lambda s: F.when(F.col("_cov").isNull(), F.lit(True))
-                   .otherwise(~F.array_contains("_cov", s["i"])))
+    # keep-positions = [0, n_toks) minus the covered set.  array_except
+    # hashes its second argument into a JVM open-address set and
+    # streams the first through it — O(tokens + covered) per document,
+    # pure codegen, order-preserving.  (This replaces a per-token
+    # array_contains probe that was O(tokens x covered): a fully
+    # boilerplate 100k-token document cost ~10^10 comparisons in one
+    # task.)
+    empty = F.array().cast("array<int>")
+    all_pos = F.when(F.size("_toks") > 0,
+                     F.sequence(F.lit(0), F.size("_toks") - 1)
+                     ).otherwise(empty)
+    kept_pos = F.array_except(all_pos, F.coalesce(F.col("_cov"), empty))
     return joined.select(
         F.col(id_col),
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
-        .alias("clean_text"),
-        (F.size("_toks") - F.size(kept)).cast("long")
+        F.array_join(
+            F.transform(kept_pos,
+                        lambda p: F.element_at("_toks", p + F.lit(1))),
+            " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept_pos)).cast("long")
         .alias("n_tokens_removed"))

@@ -66,3 +66,42 @@ def test_remove_spans_edits_text(spark):
     assert out[4].clean_text == "unique text with no shared grams at all"
     assert out[1].n_tokens_removed == 8
     assert out[4].n_tokens_removed == 0
+
+
+def test_remove_spans_fully_covered_doc(spark):
+    """Pathological case the round-4 probe was quadratic on: a document
+    whose EVERY token is covered by a corpus-frequent gram.  The
+    array_except keep-position path is O(tokens + covered) per doc, so
+    this must both (a) return an empty clean_text with all tokens
+    counted removed and (b) complete fast even at thousands of
+    tokens."""
+    from datasketches_java_spark.operators.ngram_spans import (
+        remove_frequent_ngram_spans)
+    # 4000 tokens of a cycling 8-word phrase: every 8-gram window is
+    # one of 8 rotations, each occurring ~500 times -> total cover
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    big = " ".join(words[i % 8] for i in range(4000))
+    docs = spark.createDataFrame(
+        [(1, big), (2, "some unrelated words that repeat nothing")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_frequent_ngram_spans(
+        docs, "doc_id", "text", tokens, n=8, min_count=5).collect()}
+    assert out[1].clean_text == ""
+    assert out[1].n_tokens_removed == 4000
+    assert out[2].n_tokens_removed == 0
+
+
+def test_empty_doc_passthrough(spark):
+    """Zero-token documents survive the sequence()/array_except path
+    (sequence(0, -1) would otherwise produce [0, -1])."""
+    from datasketches_java_spark.operators.ngram_spans import (
+        remove_frequent_ngram_spans)
+    boiler = "all rights reserved click here to subscribe now"
+    docs = spark.createDataFrame(
+        [(1, ""), (2, f"x {boiler}"), (3, f"y {boiler}"), (4, f"z {boiler}")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_frequent_ngram_spans(
+        docs, "doc_id", "text", tokens, n=8, min_count=3).collect()}
+    assert out[1].clean_text == ""
+    assert out[1].n_tokens_removed == 0
+    assert out[2].clean_text == "x"

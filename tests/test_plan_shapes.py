@@ -119,6 +119,42 @@ def test_quality_filter_is_scan_project_only(spark):
     assert scan_lines and all("embedding" not in ln for ln in scan_lines)
 
 
+def test_ngram_hot_join_not_forced_broadcast(spark):
+    """Round-5 guard: frequent_ngram_spans must NOT force the hot-gram
+    set into a broadcast by default — at 10^12 docs the >= min_count
+    n-gram set can be billions of rows and a forced broadcast OOMs the
+    executors.  The default plan carries no broadcast hint (AQE may
+    still promote from runtime stats, which is the point); the
+    explicit broadcast_hot=True opt-in carries one."""
+    from datasketches_java_spark.functions.text import tokens
+    from datasketches_java_spark.operators.ngram_spans import (
+        frequent_ngram_spans)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dflt = frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                                n=8, min_count=3)
+    lp = dflt._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in lp, "default forces a broadcast"
+    forced = frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                                  n=8, min_count=3, broadcast_hot=True)
+    lf = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in lf, "broadcast_hot=True lost its hint"
+
+
+def test_remove_spans_probe_is_array_except(spark):
+    """Round-5 guard: the cover probe is the hash-set array_except on
+    keep positions, not a per-token array_contains scan (O(tokens x
+    covered) per doc — quadratic on fully boilerplate documents)."""
+    from datasketches_java_spark.functions.text import tokens
+    from datasketches_java_spark.operators.ngram_spans import (
+        remove_frequent_ngram_spans)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = remove_frequent_ngram_spans(docs, "doc_id", "text", tokens,
+                                     n=8, min_count=3)
+    plan = _physical_plan(df)
+    assert "array_except" in plan
+    assert "array_contains" not in plan
+
+
 def test_two_phase_agg_single_shuffle(spark):
     """The sketch aggregation contract: ONE exchange between partial
     and final (images-only shuffle), pinned on the new items-KLL and
