@@ -39,10 +39,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 IMAGE_META = T.StructType([
+    # width/height describe the EMITTED pixel array layout (always
+    # safe to reshape by); src_width/src_height carry the original
+    # image dims, which differ when the decode resamples.
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("channels", T.IntegerType()),
     T.StructField("format", T.StringType()),
+    T.StructField("src_width", T.IntegerType()),
+    T.StructField("src_height", T.IntegerType()),
 ])
 
 
@@ -147,8 +152,10 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
     """binary → (id, meta struct, pixels flat uint8 array).
 
     ``fake=False`` is a REAL decode path for 24-bit BMP (pure numpy;
-    pixels nearest-neighbor resampled to the requested batch shape,
-    meta reports the original dims).  Compressed formats raise
+    pixels nearest-neighbor resampled to the requested batch shape).
+    ``meta.width``/``meta.height`` ALWAYS describe the emitted pixel
+    array — reshape by them safely; the decoder's source dims live in
+    ``meta.src_width``/``meta.src_height``.  Compressed formats raise
     NotImplementedError at the marked seam — Pillow/turbojpeg drop in
     there.  ``fake=True`` keeps the deterministic content-hash
     stand-in for fixtures without media bytes.
@@ -167,11 +174,12 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
             for rid, buf in zip(pdf[id_col], pdf[binary_col]):
                 if fake:
                     px = _fake_pixels(buf, width, height)
-                    meta = (width, height, 3, "fake-rgb")
+                    meta = (width, height, 3, "fake-rgb", width, height)
                 elif (buf or b"")[:2] == b"BM":
                     src = _decode_bmp(bytes(buf))
-                    meta = (src.shape[1], src.shape[0], 3, "bmp")
                     px = _resize_nearest(src, width, height)
+                    meta = (width, height, 3, "bmp",
+                            src.shape[1], src.shape[0])
                 else:
                     raise NotImplementedError(
                         "compressed image decode requires Pillow; "

@@ -50,7 +50,8 @@ def test_decode_image_real_path_raises_for_compressed(spark, media):
 def test_decode_image_real_bmp(spark):
     """REAL pure-numpy BMP decode through the Spark operator: exact
     pixel recovery at native size, deterministic nearest-neighbor
-    downsample otherwise, original dims in meta."""
+    downsample otherwise; meta.width/height describe the emitted
+    array, meta.src_width/src_height the original image."""
     from datasketches_java_spark.functions.multimodal import (
         _decode_bmp, encode_bmp)
     rng = np.random.default_rng(7)
@@ -70,10 +71,17 @@ def test_decode_image_real_bmp(spark):
                 r["meta"]["format"]) == (20, 16, "bmp")
         got = np.array(r["pixels"], dtype=np.uint8).reshape(16, 20, 3)
         assert np.array_equal(got, imgs[r["media_id"]])
-    # resample path keeps the contract shape
+    # resample path keeps the contract shape; meta dims must describe
+    # the EMITTED array (reshape-safe), source dims kept separately
     small = decode_image(df, "blob", "media_id", width=8, height=8,
                          fake=False).collect()
     assert all(len(r["pixels"]) == 8 * 8 * 3 for r in small)
+    for r in small:
+        m = r["meta"]
+        assert (m["width"], m["height"]) == (8, 8)
+        assert (m["src_width"], m["src_height"]) == (20, 16)
+        np.array(r["pixels"], dtype=np.uint8).reshape(
+            m["height"], m["width"], m["channels"])
 
 
 def test_audio_stats_real_wav(spark):
