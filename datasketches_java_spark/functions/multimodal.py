@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -106,6 +107,154 @@ def _resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
     return px[yi][:, xi]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4): nearest of
+    left/up/upper-left to p = a + b - c, ties left > up > upper-left."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, 3) RGB → 8-bit truecolor non-interlaced PNG
+    (stdlib zlib, no image library).  ``filter_type`` forces one
+    scanline filter 0-4 on every row — the default None(0) is the fast
+    path; the others exist so tests can exercise every unfilter branch
+    of the decoder with real PNG bytes."""
+    h, w, _ = pixels.shape
+    bpp = 3
+    raw = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * bpp)
+    zeros = np.zeros(bpp, dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    scan = bytearray()
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([zeros, row[:-bpp]])
+        ul = np.concatenate([zeros, prev[:-bpp]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left            # uint8 wrap == mod-256 filter
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - ((left.astype(np.uint16) + prev) // 2
+                          ).astype(np.uint8)
+        elif filter_type == 4:
+            filt = row - _paeth_pred(left, prev, ul)
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        scan.append(filter_type)
+        scan += filt.tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + \
+            struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+            + chunk(b"IEND", b""))
+
+
+def _unfilter_seq(ftype: int, filt: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Average(3)/Paeth(4) unfilter: the reconstruction recurrence
+    depends on the reconstructed LEFT pixel, so it is inherently
+    sequential along the scanline — one python step per pixel,
+    vectorized across channels."""
+    w = filt.size // bpp
+    f16 = filt.reshape(w, bpp).astype(np.int16)
+    up = prev.reshape(w, bpp).astype(np.int16)
+    rec = np.empty((w, bpp), dtype=np.int16)
+    left = np.zeros(bpp, dtype=np.int16)
+    ul = np.zeros(bpp, dtype=np.int16)
+    for x in range(w):
+        if ftype == 3:
+            pred = (left + up[x]) >> 1
+        else:
+            p = left + up[x] - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up[x], ul))
+        rec[x] = (f16[x] + pred) & 0xFF
+        left = rec[x]
+        ul = up[x]
+    return rec.astype(np.uint8).ravel()
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → uint8 (h, w, 3) RGB, stdlib zlib +
+    numpy unfiltering of all five scanline filters.  Grayscale expands
+    to 3 channels; RGBA drops alpha; 16-bit, palette, and interlaced
+    images are rejected (the documented external-decoder seam)."""
+    if len(buf) < 8 or buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG image")
+    off, w, h, ct, idat = 8, None, None, None, bytearray()
+    while off + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4:off + 8]
+        body = buf[off + 8:off + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitd, ct, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", body)
+            if bitd != 8 or ct not in (0, 2, 6) or comp or filt or inter:
+                raise ValueError(
+                    f"unsupported PNG (bit depth {bitd}, color type "
+                    f"{ct}, interlace {inter}); only 8-bit "
+                    f"non-interlaced gray/RGB/RGBA is pure-numpy "
+                    f"decodable")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    channels = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    rec = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, row = int(arr[y, 0]), arr[y, 1:]
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 1:
+            # Sub: recon[x] = filt[x] + recon[x-bpp] — a per-lane
+            # mod-256 prefix sum (uint8 cumsum wraps, which is the spec)
+            cur = np.empty(stride, dtype=np.uint8)
+            for lane in range(channels):
+                cur[lane::channels] = np.cumsum(row[lane::channels],
+                                                dtype=np.uint8)
+        elif ftype == 2:
+            cur = row + prev
+        elif ftype in (3, 4):
+            cur = _unfilter_seq(ftype, row, prev, channels)
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype}")
+        rec[y] = cur
+        prev = cur
+    px = rec.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    return px.copy()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
                channels: int = 1) -> bytes:
     """int16 PCM samples (interleaved if multichannel) → WAV bytes."""
@@ -151,8 +300,9 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
                  fake: bool = True) -> DataFrame:
     """binary → (id, meta struct, pixels flat uint8 array).
 
-    ``fake=False`` is a REAL decode path for 24-bit BMP (pure numpy;
-    pixels nearest-neighbor resampled to the requested batch shape).
+    ``fake=False`` is a REAL decode path for 24-bit BMP and 8-bit
+    non-interlaced PNG (pure numpy + stdlib zlib; pixels
+    nearest-neighbor resampled to the requested batch shape).
     ``meta.width``/``meta.height`` ALWAYS describe the emitted pixel
     array — reshape by them safely; the decoder's source dims live in
     ``meta.src_width``/``meta.src_height``.  Compressed formats raise
@@ -180,10 +330,17 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
                     px = _resize_nearest(src, width, height)
                     meta = (width, height, 3, "bmp",
                             src.shape[1], src.shape[0])
+                elif (buf or b"")[:8] == _PNG_SIG:
+                    src = _decode_png(bytes(buf))
+                    px = _resize_nearest(src, width, height)
+                    meta = (width, height, 3, "png",
+                            src.shape[1], src.shape[0])
                 else:
                     raise NotImplementedError(
-                        "compressed image decode requires Pillow; "
-                        "not in container")  # <- real decoder seam
+                        "JPEG/WebP decode requires Pillow or "
+                        "turbojpeg; not in container "
+                        "(BMP and PNG decode pure-numpy in-repo)"
+                    )  # <- real decoder seam
                 rows.append((rid, meta, px.ravel().tolist()))
             yield pd.DataFrame(rows, columns=[id_col, "meta", "pixels"])
 

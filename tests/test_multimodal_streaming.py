@@ -84,6 +84,91 @@ def test_decode_image_real_bmp(spark):
             m["height"], m["width"], m["channels"])
 
 
+def test_png_roundtrip_every_filter():
+    """Library-level exact PNG roundtrip through EVERY scanline filter
+    (None/Sub/Up/Average/Paeth) — real zlib-compressed PNG bytes, no
+    image library."""
+    from datasketches_java_spark.functions.multimodal import (
+        _decode_png, encode_png)
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    for ftype in range(5):
+        buf = encode_png(px, filter_type=ftype)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(_decode_png(buf), px), f"filter {ftype}"
+    # gradient image (the case where Sub/Paeth actually compress)
+    grad = (np.arange(24 * 24 * 3, dtype=np.int64) % 256).astype(
+        np.uint8).reshape(24, 24, 3)
+    for ftype in range(5):
+        assert np.array_equal(_decode_png(encode_png(grad, ftype)), grad)
+
+
+def test_png_rejects_unsupported():
+    from datasketches_java_spark.functions.multimodal import (
+        _decode_png, encode_png)
+    import struct as _s
+    import zlib as _z
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"\x00" * 20)
+    # interlaced IHDR must be rejected at the documented seam
+    def chunk(tag, body):
+        c = tag + body
+        return _s.pack(">I", len(body)) + c + _s.pack(">I", _z.crc32(c))
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _z.compress(b"\x00" * 52))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlace"):
+        _decode_png(buf)
+    # truncated pixel stream
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # corrupt the IDAT length contract by re-wrapping a short stream
+    bad = (good[:8] + chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="length mismatch"):
+        _decode_png(bad)
+
+
+def test_decode_image_real_png(spark):
+    """REAL PNG decode through the Spark operator: exact pixel recovery
+    at native size, emitted-dims meta contract, gray + RGBA variants."""
+    from datasketches_java_spark.functions.multimodal import (
+        _decode_png, encode_png)
+    import struct as _s
+    import zlib as _z
+    rng = np.random.default_rng(23)
+    imgs = {i: rng.integers(0, 256, (12, 15, 3), dtype=np.uint8)
+            for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(px, filter_type=i % 5)))
+         for i, px in imgs.items()],
+        "media_id long, blob binary")
+    rows = decode_image(df, "blob", "media_id", width=15, height=12,
+                        fake=False).collect()
+    assert len(rows) == 4
+    for r in rows:
+        m = r["meta"]
+        assert (m["width"], m["height"], m["format"]) == (15, 12, "png")
+        assert (m["src_width"], m["src_height"]) == (15, 12)
+        got = np.array(r["pixels"], dtype=np.uint8).reshape(12, 15, 3)
+        assert np.array_equal(got, imgs[r["media_id"]])
+    # grayscale (color type 0) expands to 3 channels; RGBA (6) drops alpha
+    def chunk(tag, body):
+        c = tag + body
+        return _s.pack(">I", len(body)) + c + _s.pack(">I", _z.crc32(c))
+    def raw_png(arr, ct):
+        h, w = arr.shape[:2]
+        scan = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+                + chunk(b"IDAT", _z.compress(scan)) + chunk(b"IEND", b""))
+    gray = rng.integers(0, 256, (6, 7, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (6, 7, 4), dtype=np.uint8)
+    assert np.array_equal(_decode_png(raw_png(gray, 0)),
+                          np.repeat(gray, 3, axis=2))
+    assert np.array_equal(_decode_png(raw_png(rgba, 6)), rgba[:, :, :3])
+
+
 def test_audio_stats_real_wav(spark):
     """REAL pure-numpy WAV parse through the Spark operator: exact
     sample count and RMS for synthesized PCM-16 audio, including a
