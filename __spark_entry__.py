@@ -888,6 +888,27 @@ def _ann_lsh_oracle_sql() -> str:
         FROM r WHERE rk <= 5 ORDER BY 1, 3"""
 
 
+def _q_sql_theta_distinct_by_nation(spark: SparkSession,
+                                    sf: str) -> DataFrame:
+    """The pure-SQL entry point (functions/sql_registry.py): the same
+    theta distinct-count as the flagship DataFrame query, but issued
+    as `spark.sql()` TEXT through the registered
+    theta_sketch_build/theta_sketch_estimate functions — the Spark
+    counterpart of the reference's Hive adaptor surface
+    (reference README.md:31).  Exact-mode lgK makes the estimate equal
+    COUNT(DISTINCT) at test scales, so the query is oracle-gated."""
+    from datasketches_java_spark.functions.sql_registry import (
+        register_sql_functions)
+    register_sql_functions(spark)
+    _read(spark, sf, "customer").createOrReplaceTempView("customer_sqlreg")
+    return spark.sql("""
+        SELECT c_nationkey,
+               CAST(theta_sketch_estimate(theta_sketch_build(c_custkey))
+                    AS BIGINT) AS distinct_customers
+        FROM customer_sqlreg
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_customers_by_nation": _q_theta_customers_by_nation,
@@ -930,12 +951,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "sql_theta_distinct_by_nation": _q_sql_theta_distinct_by_nation,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "theta_distinct_customers_by_nation": """
+            SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_customers
+            FROM customer GROUP BY 1 ORDER BY 1""",
+        "sql_theta_distinct_by_nation": """
             SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_customers
             FROM customer GROUP BY 1 ORDER BY 1""",
         "theta_distinct_orderkeys": """
