@@ -54,6 +54,9 @@ def _images() -> list[tuple[str, bytes, object]]:
         ("aod", tuple_serde.aod_to_java_bytes(
             tp.sketch_keyed_values(np.arange(5000), np.ones(5000))),
          tuple_serde.aod_from_java_bytes),
+        ("aod_union", tuple_serde.aod_union_to_java_bytes(
+            tp.sketch_keyed_values(np.arange(5000), np.ones(5000))),
+         tuple_serde.aod_union_from_java_bytes),
         ("varopt", sampling_serde.varopt_to_java_bytes(vo),
          sampling_serde.varopt_from_java_bytes),
         ("reservoir", sampling_serde.reservoir_to_java_bytes(rs),
@@ -65,9 +68,17 @@ def _images() -> list[tuple[str, bytes, object]]:
         ("cpc_sparse", cpc_serde.to_java_bytes(
             cpc.sketch_longs(np.arange(100), lg_k=11)),
          cpc_serde.from_java_bytes),
+        ("cpc_hybrid", cpc_serde.to_java_bytes(
+            cpc.sketch_longs(np.arange(300), lg_k=10)),
+         cpc_serde.from_java_bytes),
+        ("cpc_pinned", cpc_serde.to_java_bytes(
+            cpc.sketch_longs(np.arange(1500), lg_k=10)),
+         cpc_serde.from_java_bytes),
         ("cpc_sliding", cpc_serde.to_java_bytes(
             cpc.sketch_longs(np.arange(50_000), lg_k=10)),
          cpc_serde.from_java_bytes),
+        ("hll6", hll_serde.to_java_bytes_hll6(h),
+         hll_serde.from_java_bytes),
         ("req", req_serde.to_java_bytes(
             req.ReqSketch(12, True).update_batch(
                 rng.normal(size=20_000))),
