@@ -219,22 +219,60 @@ def generate_webtext(n_docs: int, seed: int = 42,
             "hot_group_size": sum(1 for g in group_of if g == hot_group)}
 
 
-def write_fixture(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
-    """Write parquet fixture + goldens; idempotent (skips if present)."""
+_URL_COLS = {"pages": ["url"], "golden_dup_pairs": ["url_a", "url_b"],
+             "golden_clusters": ["url", "cluster_id"],
+             "golden_text": ["url"]}
+
+
+def _write_one(df: pd.DataFrame, path: str) -> None:
+    # µs timestamps (Spark rejects NANOS); small row groups so the
+    # scan yields parallel splits — a single row group caps every
+    # downstream narrow stage at one task
+    df.to_parquet(path, index=False, coerce_timestamps="us",
+                  allow_truncated_timestamps=True, row_group_size=4096)
+
+
+def write_fixture(out_dir: str, n_docs: int, seed: int = 42,
+                  shard_size: int = 500_000) -> dict[str, str]:
+    """Write parquet fixture + goldens; idempotent (skips if present).
+
+    Above ``shard_size`` docs the fixture generates in independent
+    shards written as part-files under ``pages.parquet/`` etc. (a
+    directory — Spark/pyarrow/DuckDB all read it transparently): the
+    pandas-side generator holds one shard in memory at a time, so a
+    10M-doc soak fixture peaks at the ~few-GB shard cost instead of
+    >100 GB for a single monolithic build.  Shard URLs get a
+    ``https://shNNN.`` host prefix (applied to every golden table too)
+    so planted groups and urls stay globally unique."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {k: os.path.join(out_dir, f"{k}.parquet")
              for k in ("pages", "golden_dup_pairs", "golden_clusters",
                        "golden_text")}
-    if all(os.path.exists(p) for p in paths.values()):
+    if n_docs <= shard_size:
+        if all(os.path.exists(p) for p in paths.values()):
+            return paths
+        tables = generate_webtext(n_docs, seed)
+        for k, p in paths.items():
+            _write_one(tables[k], p)
         return paths
-    tables = generate_webtext(n_docs, seed)
-    for k, p in paths.items():
-        # µs timestamps (Spark rejects NANOS); small row groups so the
-        # scan yields parallel splits — a single row group caps every
-        # downstream narrow stage at one task
-        tables[k].to_parquet(p, index=False, coerce_timestamps="us",
-                             allow_truncated_timestamps=True,
-                             row_group_size=4096)
+
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return paths
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+    n_shards = (n_docs + shard_size - 1) // shard_size
+    for s in range(n_shards):
+        n_s = min(shard_size, n_docs - s * shard_size)
+        tables = generate_webtext(n_s, seed + 7919 * s)
+        prefix = f"https://sh{s:03d}."
+        for k, p in paths.items():
+            df = tables[k]
+            for c in _URL_COLS[k]:
+                df[c] = df[c].str.replace("https://", prefix, n=1)
+            _write_one(df, os.path.join(p, f"part-{s:04d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"{n_docs} docs in {n_shards} shards\n")
     return paths
 
 

@@ -77,19 +77,28 @@ def incremental_theta_state(spark: SparkSession, batch: DataFrame,
 
 def epoch_drift_check(spark: SparkSession, batch: DataFrame, state_dir: str,
                       col: str, k: int = 200,
-                      p_value: float = 0.01) -> dict:
+                      p_value: float = 0.01,
+                      commit: str = "always") -> dict:
     """Kolmogorov–Smirnov drift gate between processing epochs
     (quantiles/KolmogorovSmirnov.java:38,105 → sketches/kll.ks_test).
 
     Each call sketches ``col`` for the new batch, compares it against
-    the previous epoch's persisted KLL image, stores the new image,
-    and returns {"drifted": bool, "d": statistic}.  The per-epoch
-    sketch is bounded-size, so the gate costs one KLL aggregation
-    regardless of batch size.
+    the previous epoch's persisted KLL image, and returns
+    {"drifted": bool, "d": statistic}.  The per-epoch sketch is
+    bounded-size, so the gate costs one KLL aggregation regardless of
+    batch size.
+
+    ``commit`` controls when the new image replaces the stored epoch:
+    "always" (default), "if_clean" (only when not drifted — a caller
+    that REFUSES to proceed on drift must leave the reference epoch in
+    place, else re-running the same drifted input would compare
+    against itself and pass), or "never" (pure check).
     """
     from ..functions.sketch_aggs import kll_sketch_agg
     from ..sketches.kll import KllDoublesSketch, ks_statistic, ks_test
 
+    if commit not in ("always", "if_clean", "never"):
+        raise ValueError(f"bad commit policy: {commit}")
     path = os.path.join(state_dir, "epoch_kll")
     img = kll_sketch_agg(batch, col, k=k).first()["kll_sketch"]
     cur = KllDoublesSketch.from_bytes(bytes(img))
@@ -98,11 +107,13 @@ def epoch_drift_check(spark: SparkSession, batch: DataFrame, state_dir: str,
     if os.path.exists(marker):
         with open(marker, "rb") as f:
             prev = KllDoublesSketch.from_bytes(f.read())
-        result = {"drifted": ks_test(cur, prev, p_value),
+        result = {"drifted": bool(ks_test(cur, prev, p_value)),
                   "d": float(ks_statistic(cur, prev))}
-    os.makedirs(path, exist_ok=True)
-    with open(marker, "wb") as f:
-        f.write(cur.to_bytes())
+    if commit == "always" or (commit == "if_clean"
+                              and not result["drifted"]):
+        os.makedirs(path, exist_ok=True)
+        with open(marker, "wb") as f:
+            f.write(cur.to_bytes())
     return result
 
 
