@@ -61,6 +61,32 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _sf(sf_dir: str) -> float:
+    """Scale factor parsed from the testdata dir name ('.../sf0.1' →
+    0.1); 0.01 when unparseable."""
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail[2:]) if tail.startswith("sf") else 0.01
+    except ValueError:
+        return 0.01
+
+
+def _exact_lg_k(n_upper: float, floor: int = 12) -> int:
+    """Smallest lgK keeping a theta sketch in exact mode up to
+    ``n_upper`` distinct items (retained ≤ k = 2^lgK), +30% headroom.
+
+    The oracle gate's convention is EXACT-mode equality with SQL
+    (README §Correctness), so queries derive their exactness budget
+    from the SF they are run at — a fixed lgK silently crosses into
+    estimation at 10× the SF it was tuned for (exactly what the sf0.1
+    sweep surfaced: 149,893 vs 150,000 at lgK=17, a 0.07% error that
+    is CORRECT estimation behavior but fails a hash gate).
+    Estimation-mode accuracy at fixed lgK is separately bounds-gated
+    in tests/test_estimation_at_scale.py over the same sf0.1 tables."""
+    import math
+    return max(floor, math.ceil(math.log2(max(n_upper, 1.0) * 1.3)))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -94,7 +120,8 @@ def _q_theta_orderkeys_global(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         theta_estimate, theta_sketch_agg)
     orders = _read(spark, sf, "orders")
-    sk = theta_sketch_agg(orders, "o_orderkey", lg_k=17)
+    sk = theta_sketch_agg(orders, "o_orderkey",
+                          lg_k=_exact_lg_k(1_500_000 * _sf(sf)))
     return sk.select(F.round(theta_estimate("theta_sketch")).cast("long")
                      .alias("distinct_orderkeys"))
 
@@ -102,12 +129,13 @@ def _q_theta_orderkeys_global(spark: SparkSession, sf: str) -> DataFrame:
 def _customer_halves(spark: SparkSession, sf: str):
     from datasketches_java_spark.functions.sketch_aggs import theta_sketch_agg
     orders = _read(spark, sf, "orders")
+    lgk = _exact_lg_k(150_000 * _sf(sf))   # distinct custkeys <= |customer|
     a = theta_sketch_agg(
         orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")),
-        "o_custkey", lg_k=12).withColumnRenamed("theta_sketch", "sk_a")
+        "o_custkey", lg_k=lgk).withColumnRenamed("theta_sketch", "sk_a")
     b = theta_sketch_agg(
         orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")),
-        "o_custkey", lg_k=12).withColumnRenamed("theta_sketch", "sk_b")
+        "o_custkey", lg_k=lgk).withColumnRenamed("theta_sketch", "sk_b")
     return a.crossJoin(b)
 
 
@@ -119,7 +147,8 @@ def _q_theta_distinct_names(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         theta_estimate, theta_sketch_agg)
     cust = _read(spark, sf, "customer")
-    sk = theta_sketch_agg(cust, "c_name", lg_k=17)
+    sk = theta_sketch_agg(cust, "c_name",
+                          lg_k=_exact_lg_k(150_000 * _sf(sf)))
     return sk.select(F.round(theta_estimate("theta_sketch")).cast("long")
                      .alias("distinct_names"))
 
@@ -134,7 +163,8 @@ def _q_theta_serde_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         theta_estimate, theta_from_java, theta_sketch_agg, theta_to_java)
     orders = _read(spark, sf, "orders")
-    sk = theta_sketch_agg(orders, "o_orderkey", lg_k=17)
+    sk = theta_sketch_agg(orders, "o_orderkey",
+                          lg_k=_exact_lg_k(1_500_000 * _sf(sf)))
     wire = sk.select(theta_from_java(theta_to_java("theta_sketch"))
                      .alias("theta_sketch"))
     return wire.select(F.round(theta_estimate("theta_sketch")).cast("long")
@@ -310,7 +340,8 @@ def _q_kll_strings_custname(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         kll_items_quantiles, kll_items_sketch_agg)
     cust = _read(spark, sf, "customer")
-    sk = kll_items_sketch_agg(cust, "c_name", k=4096, dtype="string")
+    k = min(65535, max(4096, 1 << _exact_lg_k(150_000 * _sf(sf), floor=12)))
+    sk = kll_items_sketch_agg(cust, "c_name", k=k, dtype="string")
     q = kll_items_quantiles([0.25, 0.5, 0.75], "string")
     return (sk.select(q("kll_items_sketch").alias("qs"))
             .select(F.col("qs")[0].alias("q25"),
