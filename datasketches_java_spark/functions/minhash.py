@@ -105,6 +105,9 @@ def minhash_flat(values: np.ndarray, starts: np.ndarray,
 
 
 def minhash_batch(series: pd.Series, n_perms: int = MINHASH_PERMS) -> np.ndarray:
+    """(n_docs, n_perms) uint64 MinHash signatures for a pandas
+    Series of shingle-hash arrays — flat-buffer kernel, no per-row
+    Python."""
     values, starts, lengths = _flatten(series)
     return minhash_flat(values, starts, lengths, n_perms)
 
@@ -146,18 +149,23 @@ def simhash_flat(values: np.ndarray, starts: np.ndarray,
 
 
 def simhash_batch(series: pd.Series, bits: int = SIMHASH_BITS) -> np.ndarray:
+    """int64 SimHash fingerprints for a pandas Series of shingle-hash
+    arrays (bit-majority over the flat buffer)."""
     values, starts, lengths = _flatten(series)
     return simhash_flat(values, starts, lengths, bits)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash128(shingle_hashes: pd.Series) -> pd.Series:
+    """Series-in/Series-out wrapper of minhash_batch (128 perms) for
+    use inside mapInPandas/mapInArrow operators."""
     sig = minhash_batch(shingle_hashes)
     return pd.Series(list(sig))
 
 
 @F.pandas_udf(T.LongType())
 def simhash64(shingle_hashes: pd.Series) -> pd.Series:
+    """Series-in/Series-out wrapper of simhash_batch (64 bits)."""
     return pd.Series(simhash_batch(shingle_hashes))
 
 

@@ -148,6 +148,8 @@ def theta_union_agg(df: DataFrame, sketch_col: str = "theta_sketch",
 
 @F.pandas_udf(T.DoubleType())
 def theta_estimate(images: pd.Series) -> pd.Series:
+    """Distinct-count estimate from a theta image column
+    (theta/Sketch.java:264 count/theta estimator)."""
     return images.map(lambda b: theta.ThetaSketch.from_bytes(b).estimate())
 
 
@@ -171,11 +173,14 @@ def theta_from_java(images: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def theta_lower_bound(images: pd.Series) -> pd.Series:
+    """2-sigma lower confidence bound of a theta image column
+    (thetacommon/BinomialBoundsN exact port)."""
     return images.map(lambda b: theta.ThetaSketch.from_bytes(b).bounds(2)[0])
 
 
 @F.pandas_udf(T.DoubleType())
 def theta_upper_bound(images: pd.Series) -> pd.Series:
+    """2-sigma upper confidence bound of a theta image column."""
     return images.map(lambda b: theta.ThetaSketch.from_bytes(b).bounds(2)[1])
 
 
@@ -191,6 +196,15 @@ def _theta_pair_udf(op) -> Callable:
 theta_union_pair = _theta_pair_udf(theta.union)
 theta_intersect_pair = _theta_pair_udf(theta.intersect)
 theta_a_not_b_pair = _theta_pair_udf(theta.a_not_b)
+theta_union_pair.__doc__ = (
+    "Pairwise union of two theta image columns (theta-rule, "
+    "theta/UnionImpl.java:300) -> new image column.")
+theta_intersect_pair.__doc__ = (
+    "Pairwise intersection of two theta image columns "
+    "(theta/IntersectionImpl counterpart) -> new image column.")
+theta_a_not_b_pair.__doc__ = (
+    "Pairwise A-and-not-B of two theta image columns "
+    "(theta/AnotBimpl counterpart) -> new image column.")
 
 
 @F.pandas_udf(T.DoubleType())
@@ -234,6 +248,8 @@ def hll_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
 
 @F.pandas_udf(T.DoubleType())
 def hll_estimate(images: pd.Series) -> pd.Series:
+    """Cardinality estimate from an HLL image column (composite
+    estimator, hll/HllSketch.getEstimate counterpart)."""
     return images.map(lambda b: hll.HllSketch.from_bytes(b).estimate())
 
 
@@ -267,6 +283,9 @@ def hll_from_java(images: pd.Series) -> pd.Series:
 
 def kll_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
                    k: int = KLL_DEFAULT_K) -> DataFrame:
+    """groupBy(by).agg(kll_sketch(col)) -> by + kll_sketch:binary —
+    two-phase KLL doubles aggregation (kll/KllDoublesSketch update +
+    merge split across partial/final)."""
     by = by or []
 
     def build(grp: pd.DataFrame) -> bytes:
@@ -367,6 +386,8 @@ def kll_items_from_java(dtype: str = "long") -> Callable:
 
 def kll_items_quantiles(ranks: list[float], dtype: str = "long",
                         inclusive: bool = True) -> Callable:
+    """Scalar UDF factory: quantiles at ``ranks`` from a generic-item
+    KLL image column of the given dtype ('long' | 'string')."""
     elem = T.LongType() if dtype == "long" else T.StringType()
 
     @F.pandas_udf(T.ArrayType(elem))
@@ -378,6 +399,8 @@ def kll_items_quantiles(ranks: list[float], dtype: str = "long",
 
 
 def kll_items_rank(value, inclusive: bool = True) -> Callable:
+    """Scalar UDF factory: normalized rank of ``value`` from a
+    generic-item KLL image column (comparator order)."""
     @F.pandas_udf(T.DoubleType())
     def r(images: pd.Series) -> pd.Series:
         from ..sketches.kll_items import KllItemsSketch
@@ -387,6 +410,8 @@ def kll_items_rank(value, inclusive: bool = True) -> Callable:
 
 
 def kll_quantile(rank: float, inclusive: bool = True) -> Callable:
+    """Scalar UDF factory: quantile at ``rank`` from a KLL image
+    column (kll/KllDoublesSketch.getQuantile counterpart)."""
     @F.pandas_udf(T.DoubleType())
     def q(images: pd.Series) -> pd.Series:
         return images.map(
@@ -395,6 +420,8 @@ def kll_quantile(rank: float, inclusive: bool = True) -> Callable:
 
 
 def kll_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
+    """Scalar UDF factory: array of quantiles at ``ranks`` from a
+    KLL image column (one deserialize per row, not per rank)."""
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def qs(images: pd.Series) -> pd.Series:
         return images.map(
@@ -403,6 +430,8 @@ def kll_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
 
 
 def kll_rank(value: float) -> Callable:
+    """Scalar UDF factory: normalized rank of ``value`` from a KLL
+    image column (kll/KllDoublesSketch.getRank counterpart)."""
     @F.pandas_udf(T.DoubleType())
     def r(images: pd.Series) -> pd.Series:
         return images.map(lambda b: KllDoublesSketch.from_bytes(b).rank(value))
@@ -411,16 +440,19 @@ def kll_rank(value: float) -> Callable:
 
 @F.pandas_udf(T.LongType())
 def kll_n(images: pd.Series) -> pd.Series:
+    """Total update count n recorded in a KLL image column."""
     return images.map(lambda b: KllDoublesSketch.from_bytes(b).n)
 
 
 @F.pandas_udf(T.DoubleType())
 def kll_min(images: pd.Series) -> pd.Series:
+    """Exact stream minimum tracked by a KLL image column."""
     return images.map(lambda b: KllDoublesSketch.from_bytes(b).min_value)
 
 
 @F.pandas_udf(T.DoubleType())
 def kll_max(images: pd.Series) -> pd.Series:
+    """Exact stream maximum tracked by a KLL image column."""
     return images.map(lambda b: KllDoublesSketch.from_bytes(b).max_value)
 
 
@@ -466,6 +498,8 @@ def req_from_java(images: pd.Series) -> pd.Series:
 
 
 def req_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
+    """Scalar UDF factory: quantiles at ``ranks`` from a REQ image
+    column (req/ReqSketch.getQuantile counterpart)."""
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def qs(images: pd.Series) -> pd.Series:
         from ..sketches.req import ReqSketch
@@ -475,6 +509,8 @@ def req_quantiles(ranks: list[float], inclusive: bool = True) -> Callable:
 
 
 def req_rank(value: float, inclusive: bool = True) -> Callable:
+    """Scalar UDF factory: normalized rank of ``value`` from a REQ
+    image column."""
     @F.pandas_udf(T.DoubleType())
     def r(images: pd.Series) -> pd.Series:
         from ..sketches.req import ReqSketch
@@ -490,6 +526,9 @@ def req_rank(value: float, inclusive: bool = True) -> Callable:
 def freq_sketch_agg(df: DataFrame, col: str, by: list[str] | None = None,
                     max_map_size: int = FREQ_DEFAULT_MAX_MAP_SIZE,
                     weight_col: str | None = None) -> DataFrame:
+    """groupBy(by).agg(frequent_items(col[, weight])) -> by +
+    freq_sketch:binary — two-phase heavy-hitters aggregation
+    (frequencies/ItemsSketch update/merge with median-purge)."""
     by = by or []
     value_cols = [col] + ([weight_col] if weight_col else [])
 
@@ -533,6 +572,9 @@ def freq_items_from_java(images: pd.Series) -> pd.Series:
 
 
 def freq_items(threshold: int, error_type: str = "NO_FALSE_POSITIVES") -> Callable:
+    """Scalar UDF factory: (item, estimate, lb, ub) heavy-hitter rows
+    above ``threshold`` from a freq image column, under the chosen
+    error regime (NO_FALSE_POSITIVES | NO_FALSE_NEGATIVES)."""
     @F.pandas_udf(_FREQ_ROW)
     def items(images: pd.Series) -> pd.Series:
         return images.map(lambda b: [
@@ -579,6 +621,8 @@ def tuple_sketch_agg(df: DataFrame, key_col: str, value_cols: list[str],
 
 @F.pandas_udf(T.DoubleType())
 def tuple_estimate(images: pd.Series) -> pd.Series:
+    """Distinct-key estimate from a tuple-sketch image column
+    (tuple/Sketch.getEstimate counterpart)."""
     from ..sketches.tuple import TupleSketch
     return images.map(lambda b: TupleSketch.from_bytes(b).estimate())
 
@@ -769,6 +813,9 @@ def fdt_topk(df: DataFrame, primary_cols: list[str], rest_col: str,
 
 def reservoir_agg(df: DataFrame, col: str, by: list[str] | None = None,
                   k: int = 1024) -> DataFrame:
+    """groupBy(by).agg(reservoir_sample_k(col)) -> by +
+    reservoir_sketch:binary — two-phase uniform fixed-k sampling with
+    weighted-coin union (sampling/ReservoirItemsUnion)."""
     by = by or []
 
     def build(grp: pd.DataFrame) -> bytes:
@@ -785,6 +832,10 @@ def reservoir_agg(df: DataFrame, col: str, by: list[str] | None = None,
 
 def priority_sample_agg(df: DataFrame, item_col: str, weight_col: str,
                         by: list[str] | None = None, k: int = 1024) -> DataFrame:
+    """groupBy(by).agg(priority_sample_k(item, weight)) → by +
+    varopt_sketch:binary — the vectorized priority-sampling scale
+    path for VarOpt-style weighted subset sums (Duffield et al.;
+    exact heavy/light VarOpt is varopt_sketch_agg)."""
     by = by or []
 
     def build(grp: pd.DataFrame) -> bytes:
@@ -803,6 +854,7 @@ def priority_sample_agg(df: DataFrame, item_col: str, weight_col: str,
 
 @F.pandas_udf(T.LongType())
 def reservoir_n(images: pd.Series) -> pd.Series:
+    """Stream length n recorded in a reservoir image column."""
     return images.map(lambda b: ReservoirSketch.from_bytes(b).n)
 
 

@@ -89,10 +89,12 @@ def exact_jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def token_count(text: Column | str) -> Column:
+    """Whitespace/punct token count — pure codegen Column."""
     return F.size(tokens(text))
 
 
 def char_count(text: Column | str) -> Column:
+    """Character length — pure codegen Column."""
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c)
 
@@ -122,6 +124,8 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list (a
+    quality-filter feature) — pure codegen Column."""
     toks = tokens(text)
     sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
     hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
