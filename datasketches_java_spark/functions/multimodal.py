@@ -300,9 +300,11 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
                  fake: bool = True) -> DataFrame:
     """binary → (id, meta struct, pixels flat uint8 array).
 
-    ``fake=False`` is a REAL decode path for 24-bit BMP and 8-bit
-    non-interlaced PNG (pure numpy + stdlib zlib; pixels
-    nearest-neighbor resampled to the requested batch shape).
+    ``fake=False`` is a REAL decode path for 24-bit BMP, 8-bit
+    non-interlaced PNG (pure numpy + stdlib zlib) and baseline
+    sequential JPEG (pure-numpy Huffman+IDCT, `_jpeg.py`, validated
+    pixel-wise against the JVM ImageIO decoder); pixels are
+    nearest-neighbor resampled to the requested batch shape.
     ``meta.width``/``meta.height`` ALWAYS describe the emitted pixel
     array — reshape by them safely; the decoder's source dims live in
     ``meta.src_width``/``meta.src_height``.  Compressed formats raise
@@ -335,12 +337,18 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str,
                     px = _resize_nearest(src, width, height)
                     meta = (width, height, 3, "png",
                             src.shape[1], src.shape[0])
+                elif (buf or b"")[:2] == b"\xFF\xD8":
+                    from ._jpeg import decode_jpeg
+                    src = decode_jpeg(bytes(buf))
+                    px = _resize_nearest(src, width, height)
+                    meta = (width, height, 3, "jpeg",
+                            src.shape[1], src.shape[0])
                 else:
                     raise NotImplementedError(
-                        "JPEG/WebP decode requires Pillow or "
-                        "turbojpeg; not in container "
-                        "(BMP and PNG decode pure-numpy in-repo)"
-                    )  # <- real decoder seam
+                        "WebP/AVIF (and progressive JPEG) decode "
+                        "requires Pillow/turbojpeg; not in container "
+                        "(BMP, PNG and baseline JPEG decode "
+                        "pure-numpy in-repo)")  # <- real decoder seam
                 rows.append((rid, meta, px.ravel().tolist()))
             yield pd.DataFrame(rows, columns=[id_col, "meta", "pixels"])
 

@@ -1,0 +1,113 @@
+"""Pure-numpy baseline JPEG codec (functions/_jpeg.py).
+
+The decode gate is CROSS-IMPLEMENTATION: Spark's built-in `image`
+source decodes JPEG on the JVM via ImageIO (an independent
+libjpeg-derived implementation), so agreement at IDCT-rounding level
+on real-world 4:2:0 files is evidence of correctness, not
+self-consistency."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pytest
+
+from datasketches_java_spark.functions._jpeg import decode_jpeg, encode_jpeg
+
+MLLIB = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+GOLDENS = sorted(
+    glob.glob(f"{MLLIB}/kittens/*.jpg")
+    + glob.glob(f"{MLLIB}/multi-channel/chr*.jpg"))
+
+
+def _imageio_decode(spark, path):
+    row = spark.read.format("image").load(path).select("image.*").first()
+    return np.frombuffer(bytes(row.data), np.uint8).reshape(
+        row.height, row.width, row.nChannels)[:, :, ::-1]  # BGR→RGB
+
+
+def test_self_roundtrip_smooth_image():
+    x = np.linspace(0, 4 * np.pi, 64)
+    img = ((np.sin(x)[None, :] * np.cos(x)[:, None] * 0.5 + 0.5) * 255)
+    img = np.stack([img, img[::-1], img.T], axis=2).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    d = np.abs(dec.astype(int) - img.astype(int))
+    assert d.mean() < 2.0 and d.max() <= 16
+
+
+def test_self_roundtrip_odd_dims_and_gray():
+    rng = np.random.default_rng(4)
+    img = rng.integers(100, 140, (13, 21, 3), dtype=np.uint8)  # low contrast
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 6.0
+
+
+@pytest.mark.skipif(not GOLDENS, reason="spark mllib sample images absent")
+def test_decode_matches_jvm_imageio_on_real_jpegs(spark):
+    """Real libjpeg-encoded 4:2:0 photographs: our decoder vs the
+    JVM's — mean |diff| at rounding level, no structural drift."""
+    for p in GOLDENS[:3]:
+        mine = decode_jpeg(open(p, "rb").read())
+        ref = _imageio_decode(spark, p)
+        assert mine.shape == ref.shape, p
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        assert d.mean() < 1.0, (p, d.mean())
+        assert np.percentile(d, 99) <= 4, (p, np.percentile(d, 99))
+
+
+@pytest.mark.skipif(not GOLDENS, reason="spark mllib sample images absent")
+def test_our_encode_decodable_by_jvm_imageio(spark, tmp_path):
+    """Interop the other way: bytes WE encode must decode in the JVM's
+    ImageIO to the same image (both compared to the source)."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 12, axis=0), 12, axis=1)  # 48x48 blocks
+    buf = encode_jpeg(img, quality=95)
+    p = tmp_path / "ours.jpg"
+    p.write_bytes(buf)
+    ref = _imageio_decode(spark, str(p))
+    assert ref.shape == img.shape
+    d_jvm = np.abs(ref.astype(int) - img.astype(int)).mean()
+    d_ours = np.abs(decode_jpeg(buf).astype(int) - img.astype(int)).mean()
+    assert d_jvm < 6.0 and d_ours < 6.0
+    # and the two decoders agree with each other on our bytes
+    assert np.abs(ref.astype(int)
+                  - decode_jpeg(buf).astype(int)).mean() < 1.0
+
+
+def test_progressive_rejected_cleanly():
+    prog = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/" \
+           "multi-channel/grayscale.jpg"          # SOF2 on this box
+    import os
+    if not os.path.exists(prog):
+        pytest.skip("sample absent")
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(open(prog, "rb").read())
+
+
+def test_truncation_and_garbage_fail_cleanly():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    buf = encode_jpeg(img)
+    for cut in (1, 2, 3, 20, len(buf) // 2):
+        with pytest.raises((ValueError, IndexError)):
+            decode_jpeg(buf[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00" * 64)
+
+
+def test_decode_image_operator_routes_jpeg(spark):
+    from datasketches_java_spark.functions.multimodal import decode_image
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)  # 24x24
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quality=95)))],
+        "media_id long, blob binary")
+    r = decode_image(df, "blob", "media_id", width=24, height=24,
+                     fake=False).collect()[0]
+    m = r["meta"]
+    assert (m["width"], m["height"], m["format"]) == (24, 24, "jpeg")
+    got = np.array(r["pixels"], dtype=np.uint8).reshape(24, 24, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 6.0
