@@ -111,3 +111,20 @@ def test_decode_image_operator_routes_jpeg(spark):
     assert (m["width"], m["height"], m["format"]) == (24, 24, "jpeg")
     got = np.array(r["pixels"], dtype=np.uint8).reshape(24, 24, 3)
     assert np.abs(got.astype(int) - img.astype(int)).mean() < 6.0
+
+
+def test_media_binary_source_feeds_decode(spark):
+    """sources/images.read_media_binary → decode_image end-to-end over
+    the on-box sample JPEGs (file-granular parallel scan, bytes stay
+    opaque until the Arrow-batched decode)."""
+    from datasketches_java_spark.functions.multimodal import decode_image
+    from datasketches_java_spark.sources.images import read_media_binary
+    if not GOLDENS:
+        pytest.skip("sample images absent")
+    media = read_media_binary(spark, f"{MLLIB}/kittens", pattern="*.jpg")
+    assert media.count() >= 4
+    out = decode_image(media.withColumnRenamed("url", "media_id"),
+                       "blob", "media_id", width=16, height=16,
+                       fake=False).collect()
+    assert all(len(r["pixels"]) == 16 * 16 * 3 for r in out)
+    assert all(r["meta"]["format"] == "jpeg" for r in out)
