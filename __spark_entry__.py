@@ -340,6 +340,11 @@ def _q_kll_strings_custname(spark: SparkSession, sf: str) -> DataFrame:
     from datasketches_java_spark.functions.sketch_aggs import (
         kll_items_quantiles, kll_items_sketch_agg)
     cust = _read(spark, sf, "customer")
+    # k is capped by the wire format's uint16, so the exactness budget
+    # holds through sf~0.4 (65535/1.3 names); past that the gate for
+    # THIS query must switch to the rank-error bounds assertion
+    # (tests/test_estimation_at_scale.py::test_kll_items_estimation_
+    # rank_error is that gate, already exercised at sf0.1 with k=256)
     k = min(65535, max(4096, 1 << _exact_lg_k(150_000 * _sf(sf), floor=12)))
     sk = kll_items_sketch_agg(cust, "c_name", k=k, dtype="string")
     q = kll_items_quantiles([0.25, 0.5, 0.75], "string")
@@ -930,7 +935,9 @@ def _q_sql_theta_distinct_by_nation(spark: SparkSession,
     COUNT(DISTINCT) at test scales, so the query is oracle-gated."""
     from datasketches_java_spark.functions.sql_registry import (
         register_sql_functions)
-    register_sql_functions(spark)
+    # SF-derived exactness budget, same convention as the DataFrame
+    # queries (worst group = all customers in one nation)
+    register_sql_functions(spark, lg_k=_exact_lg_k(150_000 * _sf(sf)))
     _read(spark, sf, "customer").createOrReplaceTempView("customer_sqlreg")
     return spark.sql("""
         SELECT c_nationkey,

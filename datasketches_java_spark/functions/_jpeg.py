@@ -131,6 +131,11 @@ class _BitReader:
                 nxt = b[self.pos + 1] if self.pos + 1 < len(b) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
+                elif nxt == 0xFF:
+                    # T.81 B.1.1.2: any number of 0xFF fill bytes may
+                    # precede a marker — skip one and re-inspect
+                    self.pos += 1
+                    continue
                 elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
                     # marker: pad with zero bits until restart() is
                     # called / the scan ends
@@ -250,6 +255,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 15)
+            if len(sel) != len(comps):
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG not "
+                    "supported; use an external decoder")
             return _decode_scan(buf, i + 2 + seg_len, w, h, comps, sel,
                                 qt, huff_dc, huff_ac, restart_interval)
         i += 2 + seg_len
@@ -275,6 +284,12 @@ def _decode_scan(buf, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
                  restart_interval):
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
+    for c in comps:
+        if (c["hs"] not in (1, 2, 4) or c["vs"] not in (1, 2, 4)
+                or hmax % c["hs"] or vmax % c["vs"]):
+            raise ValueError(
+                f"unsupported JPEG sampling factors "
+                f"{c['hs']}x{c['vs']} (power-of-2 ratios only)")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     planes = []

@@ -55,16 +55,26 @@ from . import sketch_aggs as A
 from .sketch_aggs import _utf8_flat
 
 
-def _is_stringy(vals: pd.Series) -> bool:
-    return vals.dtype == object or pd.api.types.is_string_dtype(vals)
+def _kind(vals: pd.Series) -> str:
+    """'binary' | 'string' | 'long' from the values actually present
+    (SQL registration has no declared input type to dispatch on)."""
+    if vals.dtype == object or pd.api.types.is_string_dtype(vals):
+        for v in vals:
+            return "binary" if isinstance(v, (bytes, bytearray)) else "string"
+        return "string"
+    return "long"
 
 
 def _theta_build(vals: pd.Series, lg_k: int, seed: int) -> bytes:
     from ..sketches.murmur3 import theta_hash_bytes_batch
     vals = vals.dropna()
-    if _is_stringy(vals):
-        vals = vals[vals != ""]
-        flat, starts, lengths = _utf8_flat(vals)
+    kind = _kind(vals)
+    if kind != "long":
+        # empty strings/bytes rejected (UpdateSketch.java:255,271),
+        # matching theta_sketch_agg so SQL-built sketches stay
+        # hash-equal to DataFrame/reference sketches of the same items
+        vals = vals[vals.map(len) > 0]
+        flat, starts, lengths = _utf8_flat(vals, binary=kind == "binary")
         uh = theta_hash_bytes_batch(flat, starts, lengths, seed)
         return theta.from_update_hashes(uh, lg_k, seed).to_bytes()
     return theta.sketch_longs(
@@ -74,9 +84,10 @@ def _theta_build(vals: pd.Series, lg_k: int, seed: int) -> bytes:
 def _hll_build(vals: pd.Series, lg_k: int, seed: int) -> bytes:
     from ..sketches.murmur3 import hash128_bytes_batch
     vals = vals.dropna()
-    if _is_stringy(vals):
-        vals = vals[vals != ""]
-        flat, starts, lengths = _utf8_flat(vals)
+    kind = _kind(vals)
+    if kind != "long":
+        vals = vals[vals.map(len) > 0]
+        flat, starts, lengths = _utf8_flat(vals, binary=kind == "binary")
         h1, h2 = hash128_bytes_batch(flat, starts, lengths, seed)
         return hll.from_hash_pair(h1, h2, lg_k, seed).to_bytes()
     return hll.sketch_longs(
@@ -101,9 +112,11 @@ def register_sql_functions(spark: SparkSession,
 
     @F.pandas_udf(T.BinaryType(), F.PandasUDFType.GROUPED_AGG)
     def theta_sketch_union(imgs: pd.Series) -> bytes:
-        return theta.union_many(
-            [theta.ThetaSketch.from_bytes(b)
-             for b in imgs.dropna()]).to_bytes()
+        sks = [theta.ThetaSketch.from_bytes(b) for b in imgs.dropna()]
+        if not sks:   # all-NULL group (e.g. outer-join side) -> empty
+            return theta.from_update_hashes(
+                np.empty(0, dtype=np.uint64), lg_k, seed).to_bytes()
+        return theta.union_many(sks).to_bytes()
 
     @F.pandas_udf(T.BinaryType(), F.PandasUDFType.GROUPED_AGG)
     def hll_sketch_build(v: pd.Series) -> bytes:
@@ -111,8 +124,11 @@ def register_sql_functions(spark: SparkSession,
 
     @F.pandas_udf(T.BinaryType(), F.PandasUDFType.GROUPED_AGG)
     def hll_sketch_union(imgs: pd.Series) -> bytes:
-        return hll.union_many(
-            [hll.HllSketch.from_bytes(b) for b in imgs.dropna()]).to_bytes()
+        sks = [hll.HllSketch.from_bytes(b) for b in imgs.dropna()]
+        if not sks:
+            return hll.sketch_longs(
+                np.empty(0, dtype=np.int64), hll_lg_k, seed).to_bytes()
+        return hll.union_many(sks).to_bytes()
 
     @F.pandas_udf(T.BinaryType(), F.PandasUDFType.GROUPED_AGG)
     def cpc_sketch_build(v: pd.Series) -> bytes:

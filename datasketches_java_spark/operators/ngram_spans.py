@@ -113,11 +113,15 @@ def remove_frequent_ngram_spans(docs: DataFrame, id_col: str,
                      F.sequence(F.lit(0), F.size("_toks") - 1)
                      ).otherwise(empty)
     kept_pos = F.array_except(all_pos, F.coalesce(F.col("_cov"), empty))
+    # NULL text passes through as NULL (not ''), preserving the
+    # no-text / fully-cleaned distinction web-crawl consumers rely on
     return joined.select(
         F.col(id_col),
-        F.array_join(
+        F.when(F.col("_toks").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(
             F.transform(kept_pos,
                         lambda p: F.element_at("_toks", p + F.lit(1))),
-            " ").alias("clean_text"),
-        (F.size("_toks") - F.size(kept_pos)).cast("long")
+            " ")).alias("clean_text"),
+        F.when(F.col("_toks").isNull(), F.lit(None).cast("long"))
+        .otherwise((F.size("_toks") - F.size(kept_pos)).cast("long"))
         .alias("n_tokens_removed"))

@@ -249,13 +249,22 @@ def write_fixture(out_dir: str, n_docs: int, seed: int = 42,
              for k in ("pages", "golden_dup_pairs", "golden_clusters",
                        "golden_text")}
     if n_docs <= shard_size:
-        if all(os.path.exists(p) for p in paths.values()):
+        if any(os.path.isdir(p) for p in paths.values()):
+            raise ValueError(
+                f"{out_dir} holds a SHARDED fixture; use a fresh "
+                f"out_dir for a monolithic (n_docs <= {shard_size}) "
+                f"request instead of silently reusing it")
+        if all(os.path.isfile(p) for p in paths.values()):
             return paths
         tables = generate_webtext(n_docs, seed)
         for k, p in paths.items():
             _write_one(tables[k], p)
         return paths
 
+    if any(os.path.isfile(p) for p in paths.values()):
+        raise ValueError(
+            f"{out_dir} holds a MONOLITHIC fixture; use a fresh "
+            f"out_dir for a sharded (n_docs > {shard_size}) request")
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
         return paths

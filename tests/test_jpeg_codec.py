@@ -128,3 +128,59 @@ def test_media_binary_source_feeds_decode(spark):
                        fake=False).collect()
     assert all(len(r["pixels"]) == 16 * 16 * 3 for r in out)
     assert all(r["meta"]["format"] == "jpeg" for r in out)
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal — a
+    spec-valid stream with FF FF D9 at the end must still decode."""
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    buf = encode_jpeg(img)
+    assert buf.endswith(b"\xFF\xD9")
+    padded = buf[:-2] + b"\xFF" + b"\xFF\xD9"   # fill byte before EOI
+    dec = decode_jpeg(padded)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def _patch_sof(buf: bytes, patch) -> bytes:
+    """Apply `patch(bytearray_segment)` to the SOF0 payload."""
+    b = bytearray(buf)
+    i = 2
+    import struct as s
+    while i < len(b) - 1:
+        if b[i] == 0xFF and b[i + 1] == 0xC0:
+            ln = s.unpack_from(">H", b, i + 2)[0]
+            seg = b[i + 4:i + 2 + ln]
+            patch(seg)
+            b[i + 4:i + 2 + ln] = seg
+            return bytes(b)
+        if b[i] == 0xFF and b[i + 1] not in (0xD8, 0x01):
+            i += 2 + s.unpack_from(">H", b, i + 2)[0]
+        else:
+            i += 1
+    raise AssertionError("no SOF0")
+
+
+def test_nonpow2_sampling_rejected_cleanly():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+
+    def make_luma_3x1(seg):
+        seg[7] = 0x31     # comp 1 sampling: hs=3, vs=1
+    bad = _patch_sof(encode_jpeg(img), make_luma_3x1)
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bad)
+
+
+def test_multiscan_rejected_cleanly():
+    """SOS naming fewer components than SOF (non-interleaved layout)
+    raises the documented ValueError, not a KeyError."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    buf = bytearray(encode_jpeg(img))
+    # SOS payload starts [ns, cid, tabs, ...]; shrink to 1 component
+    i = buf.find(b"\xFF\xDA")
+    import struct as s
+    ln = s.unpack_from(">H", buf, i + 2)[0]
+    new_payload = bytes([1]) + bytes(buf[i + 5:i + 7]) + bytes(buf[i + 2 + ln - 3:i + 2 + ln])
+    out = bytes(buf[:i + 2]) + s.pack(">H", len(new_payload) + 2) \
+        + new_payload + bytes(buf[i + 2 + ln:])
+    with pytest.raises(ValueError, match="multi-scan|non-interleaved"):
+        decode_jpeg(out)

@@ -105,3 +105,20 @@ def test_empty_doc_passthrough(spark):
     assert out[1].clean_text == ""
     assert out[1].n_tokens_removed == 0
     assert out[2].clean_text == "x"
+
+
+def test_null_text_passes_through_as_null(spark):
+    """Round-5 review fix: NULL text stays NULL (not ''), preserving
+    the no-text vs fully-cleaned distinction."""
+    from datasketches_java_spark.operators.ngram_spans import (
+        remove_frequent_ngram_spans)
+    boiler = "all rights reserved click here to subscribe now"
+    docs = spark.createDataFrame(
+        [(1, None), (2, f"x {boiler}"), (3, f"y {boiler}"),
+         (4, f"z {boiler}")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_frequent_ngram_spans(
+        docs, "doc_id", "text", tokens, n=8, min_count=3).collect()}
+    assert out[1].clean_text is None
+    assert out[1].n_tokens_removed is None
+    assert out[2].clean_text == "x"

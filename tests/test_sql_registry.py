@@ -115,3 +115,29 @@ def test_frequent_strings_roundtrip(sql):
 def test_registry_returns_names(spark):
     names = register_sql_functions(spark)
     assert "theta_sketch_build" in names and len(names) >= 20
+
+
+def test_union_aggs_survive_all_null_groups(sql, spark):
+    """Outer-join shape: a group whose sketch column is entirely NULL
+    must union to an empty sketch (estimate 0), not crash."""
+    spark.createDataFrame(
+        [(1, None), (2, None)], "g int, sk binary"
+    ).createOrReplaceTempView("null_partials")
+    row = sql("""
+        SELECT theta_sketch_estimate(theta_sketch_union(sk)) t,
+               hll_sketch_estimate(hll_sketch_union(sk)) h
+        FROM null_partials""").collect()[0]
+    assert row["t"] == 0.0 and row["h"] == 0.0
+
+
+def test_theta_build_on_binary_column(sql, spark):
+    """BINARY columns hash raw bytes (update(byte[]) parity with the
+    DataFrame agg), including non-UTF8 payloads; empties rejected."""
+    rows = [(i, bytes([0xFF, 0xFE, i % 5])) for i in range(40)]
+    rows += [(99, b"")]
+    spark.createDataFrame(rows, "id int, blob binary") \
+        .createOrReplaceTempView("blobs")
+    est = sql("""
+        SELECT CAST(theta_sketch_estimate(theta_sketch_build(blob))
+                    AS BIGINT) d FROM blobs""").collect()[0]["d"]
+    assert est == 5   # 5 distinct non-empty payloads, b'' rejected
