@@ -109,7 +109,9 @@ def run_queries(spark) -> dict[str, float]:
 def _spark(cores: int):
     from datasketches_java_spark.functions.session import get_spark
     return get_spark("bench", cores=cores,
-                     shuffle_partitions=max(cores * 2, 16))
+                     shuffle_partitions=max(cores * 2, 16),
+                     driver_memory=os.environ.get(
+                         "SPARK_GRAFT_DRIVER_MEM", "48g"))
 
 
 def main() -> None:
